@@ -1,0 +1,80 @@
+"""
+Schedule descriptors: TPU schedules as *data*.
+
+The reference records transforms as (impl-module id, parameter values) where
+the impl replays imperative loopy verbs (split_iname/precompute/...,
+SURVEY.md §2.2).  The TPU-native equivalent is a declarative descriptor
+interpreted by the emitters; the tuning impls' job is to *produce* good
+descriptors for their einsum family.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+
+def _freeze_mapping(m) -> tuple:
+    if isinstance(m, tuple):
+        return m
+    return tuple(sorted(m.items()))
+
+
+@dataclass(frozen=True)
+class ScheduleDescriptor:
+    """How to lower a batched-einsum program onto the device.
+
+    :attr backend: ``"xla"`` (jnp.einsum per step, XLA fusion) or ``"pallas"``
+        (fused single kernel gridded over :attr:`grid_index`).
+    :attr grid_index: index letter the Pallas grid iterates over — normally
+        the parametric "long" axis (DG element axis).  ``None`` = choose
+        automatically (the unique SizeParam axis if any).
+    :attr block_long: elements of the long axis processed per grid step.
+    :attr accum_dtype: accumulation dtype for contractions (e.g. "float32"
+        for bf16 inputs); ``None`` = operand dtype.
+    :attr compute_dtype: cast operands to this dtype before contracting
+        (e.g. "bfloat16" to engage the native MXU path); ``None`` = as-is.
+    :attr arg_layouts: per-arg axis permutation applied to the HBM layout,
+        as a tuple of ``(arg_name, perm_tuple)``.  The executable then
+        expects the argument pre-transposed — layout choice is part of the
+        schedule, like the reference's TTGT transposes.
+    :attr precision: jax matmul precision ("default" | "float32" | "highest"
+        | "bfloat16_3x" ...), applied to XLA-backend dots.
+    :attr dimension_semantics: Mosaic grid annotation ("parallel" /
+        "arbitrary") for the long-axis grid.
+    :attr vmem_limit_bytes: cap for the Mosaic compiler.
+    :attr interpret: force Pallas interpret mode (None = auto on non-TPU).
+    :attr multiple_results_in_one_kernel: evaluate all batch rows inside one
+        pallas_call (shares operand DMA between rows) vs one call per row.
+    """
+
+    backend: str = "xla"
+    grid_index: Optional[str] = None
+    block_long: int = 1024
+    accum_dtype: Optional[str] = None
+    compute_dtype: Optional[str] = None
+    arg_layouts: tuple = ()
+    precision: str = "default"
+    dimension_semantics: str = "arbitrary"
+    vmem_limit_bytes: Optional[int] = None
+    interpret: Optional[bool] = None
+    multiple_results_in_one_kernel: bool = True
+    flags: tuple = field(default_factory=tuple)
+
+    def __post_init__(self):
+        object.__setattr__(self, "arg_layouts",
+                           _freeze_mapping(self.arg_layouts))
+        object.__setattr__(self, "flags", _freeze_mapping(self.flags))
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    def copy(self, **changes) -> "ScheduleDescriptor":
+        return replace(self, **changes)
+
+    @property
+    def arg_layouts_map(self) -> dict:
+        return dict(self.arg_layouts)
+
+    @property
+    def flags_map(self) -> dict:
+        return dict(self.flags)

@@ -1,0 +1,183 @@
+"""
+EinsumProgram: the transformable kernel object.
+
+The reference's transform target is a ``loopy.TranslationUnit``; ours is an
+immutable (einsum, schedule, descriptor) triple.  A ``TransformT`` maps a
+program to a program (usually only touching the descriptor/schedule);
+``build_executable`` interprets the result into a jitted callable.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..contraction_schedule import (
+    ContractionSchedule,
+    EinsumOperand,
+    IntermediateResult,
+    get_trivial_contraction_schedule,
+    get_opt_einsum_contraction_schedule,
+)
+from ..einsum import BatchedEinsum, SizeParam
+from .descriptor import ScheduleDescriptor
+
+
+@dataclass(frozen=True)
+class EinsumProgram:
+    """An executable description of a batched einsum: what to compute
+    (einsum), in which algebraic steps (schedule), and how to map it onto the
+    device (descriptor)."""
+
+    einsum: BatchedEinsum
+    schedule: ContractionSchedule
+    descriptor: ScheduleDescriptor
+
+    def copy(self, **changes) -> "EinsumProgram":
+        return replace(self, **changes)
+
+    def with_descriptor(self, **changes) -> "EinsumProgram":
+        return replace(self, descriptor=self.descriptor.copy(**changes))
+
+
+def generate_program(einsum: BatchedEinsum,
+                     schedule: Optional[ContractionSchedule] = None,
+                     descriptor: Optional[ScheduleDescriptor] = None
+                     ) -> EinsumProgram:
+    """Default program: trivial schedule, XLA backend (parity:
+    ``generate_loopy``, reference codegen/loopy.py:113)."""
+    return EinsumProgram(
+        einsum=einsum,
+        schedule=schedule or get_trivial_contraction_schedule(einsum),
+        descriptor=descriptor or ScheduleDescriptor(),
+    )
+
+
+def generate_program_with_opt_einsum_schedule(
+        einsum: BatchedEinsum, *,
+        descriptor: Optional[ScheduleDescriptor] = None,
+        **opt_einsum_kwargs) -> EinsumProgram:
+    """Program with the opt_einsum optimal contraction path (parity:
+    ``generate_loopy_with_opt_einsum_schedule``, reference
+    codegen/loopy.py:328)."""
+    return EinsumProgram(
+        einsum=einsum,
+        schedule=get_opt_einsum_contraction_schedule(
+            einsum, **opt_einsum_kwargs),
+        descriptor=descriptor or ScheduleDescriptor(),
+    )
+
+
+TransformT = Callable[[EinsumProgram], EinsumProgram]
+
+
+def get_index_lengths(einsum: BatchedEinsum, long_dim_length: int) -> dict:
+    """Concrete index -> length map with SizeParams bound to
+    *long_dim_length*."""
+    return {
+        ix: long_dim_length if isinstance(ln, SizeParam) else int(ln)
+        for ix, ln in einsum.index_to_dim_length.items()}
+
+
+def output_dtype(einsum: BatchedEinsum, row: int) -> np.dtype:
+    """dtype of batch-row *row*'s output: numpy promotion of its operands."""
+    return np.result_type(*[arg.dtype for arg in einsum.args[row]])
+
+
+def _precision(name: str):
+    import jax
+    lowered = (name or "default").lower()
+    if lowered in ("default", "none"):
+        return None
+    if lowered in ("high", "highest"):
+        return getattr(jax.lax.Precision, lowered.upper())
+    return name  # dot-algorithm preset string, passed through
+
+
+def ensure_x64_if_needed(einsum: BatchedEinsum) -> None:
+    """Enable jax x64 mode when the einsum uses 64-bit dtypes (JAX defaults
+    to 32-bit otherwise and would silently truncate)."""
+    import jax
+    if any(dt.itemsize >= 8 for dt in einsum.arg_to_dtype.values()):
+        if not jax.config.read("jax_enable_x64"):
+            jax.config.update("jax_enable_x64", True)
+
+
+def _xla_row_fn(program: EinsumProgram, row: int, arrays_by_name: dict):
+    """Evaluate one batch row's schedule with jnp.einsum per step."""
+    import jax.numpy as jnp
+
+    e = program.einsum
+    desc = program.descriptor
+    prec = _precision(desc.precision)
+    accum = (jnp.dtype(desc.accum_dtype).type
+             if desc.accum_dtype is not None else None)
+
+    env: dict = {}
+    result = None
+    for subs, name, step_args in zip(program.schedule.subscripts,
+                                     program.schedule.result_names,
+                                     program.schedule.arguments):
+        ins = []
+        for a in step_args:
+            if isinstance(a, EinsumOperand):
+                arr = arrays_by_name[e.args[row][a.position].name]
+                if desc.compute_dtype is not None:
+                    arr = arr.astype(desc.compute_dtype)
+                ins.append(arr)
+            else:
+                assert isinstance(a, IntermediateResult)
+                ins.append(env[a.name])
+        kwargs = {}
+        if prec is not None:
+            kwargs["precision"] = prec
+        if accum is not None:
+            kwargs["preferred_element_type"] = accum
+        env[name] = jnp.einsum(subs, *ins, **kwargs)
+        result = env[name]
+    return result.astype(output_dtype(e, row))
+
+
+def _logical_arrays(program: EinsumProgram, arrays_by_name: dict) -> dict:
+    """Undo descriptor-mandated argument layouts to recover logical axes."""
+    import jax.numpy as jnp
+
+    layouts = program.descriptor.arg_layouts_map
+    if not layouts:
+        return arrays_by_name
+    out = dict(arrays_by_name)
+    for name, perm in layouts.items():
+        inv = np.argsort(perm)
+        out[name] = jnp.transpose(out[name], tuple(int(i) for i in inv))
+    return out
+
+
+@functools.lru_cache(maxsize=512)
+def _build_executable_cached(program: EinsumProgram, lengths_key: tuple):
+    import jax
+
+    if program.descriptor.backend == "pallas":
+        from ..ops.pallas_emitter import build_pallas_executable
+        return build_pallas_executable(program, dict(lengths_key))
+
+    def fn(arrays_by_name: dict):
+        logical = _logical_arrays(program, arrays_by_name)
+        return tuple(_xla_row_fn(program, r, logical)
+                     for r in range(program.einsum.b))
+
+    return jax.jit(fn)
+
+
+def build_executable(program: EinsumProgram, *,
+                     long_dim_length: int = 100_000,
+                     index_to_length: Optional[dict] = None):
+    """Compile *program* into ``fn(arrays_by_name: dict) -> tuple`` returning
+    the b row outputs.  Executables are cached on (program, lengths)."""
+    ensure_x64_if_needed(program.einsum)
+    if index_to_length is None:
+        index_to_length = get_index_lengths(program.einsum, long_dim_length)
+    lengths_key = tuple(sorted(index_to_length.items()))
+    return _build_executable_cached(program, lengths_key)

@@ -1,0 +1,91 @@
+"""
+Static per-device peak tables for roofline modeling
+(parity: reference ``feinsum/data/device_info.py:5-26``).
+
+TPU entries are per-chip numbers.  Matmul peaks for non-native dtypes on TPU
+(fp32 runs as multi-pass bf16 on the MXU under the default XLA precision
+config) are derated from the bf16 MXU peak; entries marked "measured" were
+calibrated with microbenchmarks on the actual hardware (see
+``feinsum_tpu/measure.py:calibrate_device_peaks``).  GPU entries mirror the
+reference's table so archived reference facts remain interpretable.
+"""
+
+from __future__ import annotations
+
+# peak GFLOP/s by dtype
+DEV_TO_PEAK_GFLOPS = {
+    # --- TPU generations (per chip) ---
+    "TPU_v4": {
+        "bfloat16": 275_000.0,
+        "float32": 34_400.0,
+        "float64": 4_300.0,
+    },
+    "TPU_v5_lite": {  # v5e; bf16 peak from spec, f32 ~bf16/6 (3-pass + issue)
+        "bfloat16": 197_000.0,
+        "float32": 24_600.0,
+        "float64": 3_100.0,
+    },
+    "TPU_v5": {  # v5p
+        "bfloat16": 459_000.0,
+        "float32": 57_400.0,
+        "float64": 7_200.0,
+    },
+    "TPU_v6_lite": {  # Trillium / v6e
+        "bfloat16": 918_000.0,
+        "float32": 114_800.0,
+        "float64": 14_300.0,
+    },
+    # --- reference GPUs (from the reference's table) ---
+    "NVIDIA_TITAN_V": {
+        "float32": 12_288.0,
+        "float64": 6_144.0,
+        "complex64": 12_288.0,
+        "complex128": 6_144.0,
+    },
+    "NVIDIA_GEFORCE_GTX_1650": {
+        "float32": 3_916.8,
+        "float64": 122.4,
+    },
+    "NVIDIA_H200_NVL": {
+        "float32": 67_000.0,
+        "float64": 34_000.0,
+    },
+}
+
+# peak HBM bandwidth, GB/s
+DEV_TO_PEAK_BW = {
+    "TPU_v4": 1_228.0,
+    "TPU_v5_lite": 819.0,
+    "TPU_v5": 2_765.0,
+    "TPU_v6_lite": 1_640.0,
+    "NVIDIA_TITAN_V": 652.8,
+    "NVIDIA_GEFORCE_GTX_1650": 192.0,
+    "NVIDIA_H200_NVL": 4_800.0,
+}
+
+# VMEM per core, bytes (used by schedule-space guards, the TPU analog of the
+# reference impls' shared-memory-<=48kB InvalidParameterError guards)
+DEV_TO_VMEM_BYTES = {
+    "TPU_v4": 128 * 1024 * 1024,
+    "TPU_v5_lite": 128 * 1024 * 1024,
+    "TPU_v5": 128 * 1024 * 1024,
+    "TPU_v6_lite": 128 * 1024 * 1024,
+}
+DEFAULT_VMEM_BYTES = 64 * 1024 * 1024
+
+
+def sanitize_device_name(name: str) -> str:
+    """'TPU v5 lite' -> 'TPU_v5_lite' (reference sql_utils.py:122-132)."""
+    return name.strip().replace(" ", "_").replace("-", "_")
+
+
+def get_device_key(device=None) -> str:
+    """Roofline-table key for *device* (a jax Device, a str, or anything with
+    ``.device_kind``/``.name``); defaults to jax's first device."""
+    if device is None:
+        import jax
+        device = jax.devices()[0]
+    if isinstance(device, str):
+        return sanitize_device_name(device)
+    kind = getattr(device, "device_kind", None) or getattr(device, "name", "")
+    return sanitize_device_name(str(kind))

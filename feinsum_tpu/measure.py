@@ -1,0 +1,414 @@
+"""
+Empirical measurement & validation harness (parity: ``feinsum/measure.py``).
+
+* random input generation (dtype-aware) and device placement;
+* validation of a transformed program against the ``numpy.einsum`` oracle at a
+  small long-dim length with dtype-dependent tolerances
+  (reference measure.py:111-194);
+* wall-clock timing with warmup + batched rounds until >=10 rounds and >=2 s
+  (reference measure.py:197-275), fenced with ``block_until_ready``;
+* symbolic flop polynomials per dtype from the contraction schedule
+  (reference counts via loopy's polyhedral op map, measure.py:278-331; ours
+  evaluates the same closed form: per step, |domain| * ((n_terms-1) muls +
+  1 add when contracted), complex-weighted mul=6/add=2);
+* roofline = flops / max(sum_dtype flops_d/peak_d, bytes/BW) from the device
+  tables (reference measure.py:388-418).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from .codegen.program import (
+    EinsumProgram,
+    TransformT,
+    build_executable,
+    ensure_x64_if_needed,
+    generate_program,
+    get_index_lengths,
+    output_dtype,
+)
+from .contraction_schedule import (
+    ContractionSchedule,
+    EinsumOperand,
+    get_opt_einsum_contraction_schedule,
+)
+from .data.device_info import (
+    DEV_TO_PEAK_BW,
+    DEV_TO_PEAK_GFLOPS,
+    get_device_key,
+)
+from .diagnostics import (
+    NoDevicePeaksInfoError,
+    TransformValidationError,
+)
+from .einsum import BatchedEinsum, SizeParam
+
+logger = logging.getLogger(__name__)
+
+N_WARMUP_ROUNDS = 5
+N_MIN_TIMING_ROUNDS = 10
+MIN_TIMING_SECS = 2.0
+
+DTYPE_TO_RTOL = {
+    np.dtype("float16"): 1e-2,
+    np.dtype("float32"): 2e-5,
+    np.dtype("float64"): 1e-10,
+    np.dtype("complex64"): 2e-5,
+    np.dtype("complex128"): 1e-10,
+}
+
+
+# {{{ inputs
+
+def generate_input_arrays(einsum: BatchedEinsum, *, long_dim_length: int,
+                          seed: int = 0, as_numpy: bool = False) -> dict:
+    """Random inputs for every distinct operand, on the default device.
+    Layout permutations mandated by a descriptor are applied by the caller
+    (see :func:`_apply_layouts`)."""
+    lengths = get_index_lengths(einsum, long_dim_length)
+    rng = np.random.default_rng(seed)
+    out = {}
+    arg_to_idx = {}
+    for args_row in einsum.args:
+        for arg, idx_set in zip(args_row, einsum.in_idx_sets):
+            arg_to_idx[arg.name] = idx_set
+    for name in einsum.arg_to_shape:
+        shape = tuple(lengths[ix] for ix in arg_to_idx[name])
+        dtype = einsum.arg_to_dtype[name]
+        if dtype.kind == "c":
+            base = (rng.random(shape) + 1j * rng.random(shape))
+        elif dtype.kind in "iu":
+            base = rng.integers(0, 8, size=shape)
+        else:
+            base = rng.random(shape)
+        out[name] = np.asarray(base, dtype=dtype)
+    if as_numpy:
+        return out
+    import jax
+    return {k: jax.device_put(v) for k, v in out.items()}
+
+
+def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
+    layouts = program.descriptor.arg_layouts_map
+    if not layouts:
+        return arrays
+    out = dict(arrays)
+    for name, perm in layouts.items():
+        out[name] = out[name].transpose(tuple(int(p) for p in perm))
+    return out
+
+# }}}
+
+
+# {{{ flop counting
+
+_COMPLEX_WEIGHTS = {"mul": 6, "add": 2}
+_REAL_WEIGHTS = {"mul": 1, "add": 1}
+
+
+def _length_expr(length):
+    import sympy
+    if isinstance(length, SizeParam):
+        return sympy.Symbol(length.name)
+    return sympy.Integer(int(length))
+
+
+def get_giga_op_map(einsum: BatchedEinsum,
+                    schedule: Optional[ContractionSchedule] = None) -> dict:
+    """dtype-name -> sympy expression of 1e-9 * flops, counting over all b
+    rows of *schedule* (default: the opt_einsum schedule, matching the
+    reference's convention of counting against the optimal path)."""
+    import sympy
+
+    if schedule is None:
+        schedule = get_opt_einsum_contraction_schedule(einsum)
+    lengths = einsum.index_to_dim_length
+    totals: dict = {}
+    for row in range(einsum.b):
+        # dtype of each step's result for this row
+        env_dtype: dict = {}
+        for subs, name, step_args in zip(schedule.subscripts,
+                                         schedule.result_names,
+                                         schedule.arguments):
+            in_specs, out_spec = subs.replace(" ", "").split("->")
+            in_specs = in_specs.split(",")
+            dts = []
+            for a in step_args:
+                if isinstance(a, EinsumOperand):
+                    dts.append(einsum.args[row][a.position].dtype)
+                else:
+                    dts.append(env_dtype[a.name])
+            dt = np.result_type(*dts)
+            env_dtype[name] = dt
+
+            all_idx = set("".join(in_specs))
+            contracted = all_idx - set(out_spec)
+            domain = sympy.Integer(1)
+            for ix in sorted(all_idx):
+                domain = domain * _length_expr(lengths[ix])
+            w = _COMPLEX_WEIGHTS if dt.kind == "c" else _REAL_WEIGHTS
+            n_terms = len(step_args)
+            ops = domain * ((n_terms - 1) * w["mul"]
+                            + (w["add"] if contracted else 0))
+            if ops != 0:
+                key = dt.name
+                totals[key] = totals.get(key, sympy.Integer(0)) + ops
+    return {k: v / sympy.Integer(10**9) for k, v in totals.items()}
+
+
+def evaluate_giga_op_map(giga_op_map: dict, long_dim_length: int) -> dict:
+    """Evaluate each polynomial at every SizeParam == long_dim_length."""
+    out = {}
+    for k, expr in giga_op_map.items():
+        out[k] = float(expr.subs({s: long_dim_length
+                                  for s in expr.free_symbols}))
+    return out
+
+
+def get_footprint_gbytes(einsum: BatchedEinsum, *, long_dim_length: int
+                         ) -> float:
+    """Ideal HBM traffic: every distinct operand read once + outputs written
+    once (the fused-in-VMEM Pallas model materializes no intermediates)."""
+    lengths = get_index_lengths(einsum, long_dim_length)
+    arg_to_idx = {}
+    for args_row in einsum.args:
+        for arg, idx_set in zip(args_row, einsum.in_idx_sets):
+            arg_to_idx[arg.name] = idx_set
+    nbytes = 0
+    for name in einsum.all_args:
+        size = 1
+        for ix in arg_to_idx[name]:
+            size *= lengths[ix]
+        nbytes += size * einsum.arg_to_dtype[name].itemsize
+    out_size = 1
+    for ix in einsum.out_idx_set:
+        out_size *= lengths[ix]
+    for row in range(einsum.b):
+        nbytes += out_size * output_dtype(einsum, row).itemsize
+    return nbytes * 1e-9
+
+# }}}
+
+
+# {{{ validation
+
+def _numpy_oracle(einsum: BatchedEinsum, np_arrays: dict) -> list:
+    subs = (",".join("".join(s) for s in einsum.in_idx_sets)
+            + "->" + "".join(einsum.out_idx_set))
+    outs = []
+    for row in einsum.args:
+        ins = [np_arrays[arg.name] for arg in row]
+        outs.append(np.einsum(subs, *ins, optimize="optimal"))
+    return outs
+
+
+def validate_batched_einsum_transform(
+        einsum: BatchedEinsum, transform: Optional[TransformT], *,
+        long_dim_length: int = 100, seed: int = 0,
+        rtol: Optional[float] = None) -> None:
+    """Run the transformed program and compare against numpy.einsum; raises
+    :class:`TransformValidationError` on mismatch (parity: reference
+    measure.py:111-194)."""
+    ensure_x64_if_needed(einsum)
+    program = generate_program(einsum)
+    if transform is not None:
+        program = transform(program)
+        if not isinstance(program, EinsumProgram):
+            raise TypeError("transform must return an EinsumProgram")
+
+    np_arrays = generate_input_arrays(einsum, long_dim_length=long_dim_length,
+                                      seed=seed, as_numpy=True)
+    expected = _numpy_oracle(einsum, np_arrays)
+
+    import jax
+    dev_arrays = {k: jax.device_put(v)
+                  for k, v in _apply_layouts(program, np_arrays).items()}
+    fn = build_executable(program, long_dim_length=long_dim_length)
+    results = fn(dev_arrays)
+    if len(results) != einsum.b:
+        raise TransformValidationError(
+            f"expected {einsum.b} outputs, got {len(results)}")
+    for r, (got, ref) in enumerate(zip(results, expected)):
+        got = np.asarray(got)
+        dt = output_dtype(einsum, r)
+        tol = rtol if rtol is not None else DTYPE_TO_RTOL.get(
+            np.dtype(dt), 1e-2)
+        scale = float(np.max(np.abs(ref))) or 1.0
+        if got.shape != ref.shape:
+            raise TransformValidationError(
+                f"row {r}: shape {got.shape} != expected {ref.shape}")
+        if not np.allclose(got.astype(np.float64) if got.dtype.kind != "c"
+                           else got,
+                           ref, rtol=tol, atol=tol * scale):
+            err = float(np.max(np.abs(got - ref)))
+            raise TransformValidationError(
+                f"row {r}: max abs error {err:.3e} exceeds tolerance"
+                f" rtol={tol} (scale {scale:.3e})")
+
+# }}}
+
+
+# {{{ timing
+
+def timeit(einsum: BatchedEinsum, *,
+           transform: Optional[TransformT] = None,
+           long_dim_length: int = 100_000,
+           validate: bool = True,
+           validation_long_dim_length: int = 100,
+           min_rounds: int = N_MIN_TIMING_ROUNDS,
+           min_seconds: float = MIN_TIMING_SECS) -> float:
+    """Mean wall-clock seconds per launch of the (transformed) einsum
+    program: validate first, 5 warmup launches, then batches of 5 until both
+    >= *min_rounds* rounds and >= *min_seconds* elapsed (reference protocol,
+    measure.py:35-37, 197-275)."""
+    import jax
+
+    if validate:
+        validate_batched_einsum_transform(
+            einsum, transform, long_dim_length=validation_long_dim_length)
+
+    program = generate_program(einsum)
+    if transform is not None:
+        program = transform(program)
+    arrays = generate_input_arrays(einsum, long_dim_length=long_dim_length)
+    arrays = _apply_layouts(program, arrays)
+    fn = build_executable(program, long_dim_length=long_dim_length)
+
+    for _ in range(N_WARMUP_ROUNDS):
+        out = fn(arrays)
+    jax.block_until_ready(out)
+
+    n_rounds = 0
+    elapsed = 0.0
+    while n_rounds < min_rounds or elapsed < min_seconds:
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn(arrays)
+        jax.block_until_ready(out)
+        elapsed += time.perf_counter() - t0
+        n_rounds += 5
+    return elapsed / n_rounds
+
+
+def measure_giga_op_rate(einsum: BatchedEinsum, *,
+                         transform: Optional[TransformT] = None,
+                         long_dim_length: int = 100_000,
+                         **timeit_kwargs) -> dict:
+    """dtype-name -> achieved GOp/s (parity: reference measure.py:357-385);
+    the special key ``"total"`` sums all dtypes."""
+    runtime = timeit(einsum, transform=transform,
+                     long_dim_length=long_dim_length, **timeit_kwargs)
+    gops = evaluate_giga_op_map(get_giga_op_map(einsum), long_dim_length)
+    rates = {k: v / runtime for k, v in gops.items()}
+    rates["total"] = sum(v for k, v in rates.items())
+    return rates
+
+# }}}
+
+
+# {{{ roofline
+
+def get_roofline_flop_rate(einsum: BatchedEinsum, device_name: str, *,
+                           long_dim_length: int = 100_000,
+                           ignore_unknown_device: bool = False
+                           ) -> Optional[float]:
+    """Roofline GOp/s: total flops / max(compute time, memory time) using the
+    static device peaks (parity: reference measure.py:388-418)."""
+    key = get_device_key(device_name)
+    if key not in DEV_TO_PEAK_GFLOPS or key not in DEV_TO_PEAK_BW:
+        if ignore_unknown_device:
+            return None
+        raise NoDevicePeaksInfoError(
+            f"No peak flops/bandwidth info for device '{key}'. Known:"
+            f" {sorted(DEV_TO_PEAK_GFLOPS)}")
+    gops = evaluate_giga_op_map(get_giga_op_map(einsum), long_dim_length)
+    total_gops = sum(gops.values())
+    t_compute = 0.0
+    for dtype_name, g in gops.items():
+        peaks = DEV_TO_PEAK_GFLOPS[key]
+        if dtype_name not in peaks:
+            if ignore_unknown_device:
+                return None
+            raise NoDevicePeaksInfoError(
+                f"No {dtype_name} peak recorded for '{key}'.")
+        t_compute += g / peaks[dtype_name]
+    t_mem = get_footprint_gbytes(
+        einsum, long_dim_length=long_dim_length) / DEV_TO_PEAK_BW[key]
+    return total_gops / max(t_compute, t_mem)
+
+
+def stringify_comparison_vs_roofline(
+        einsum: BatchedEinsum, *, device_name: Optional[str] = None,
+        transform: Optional[TransformT] = None,
+        long_dim_length: int = 100_000,
+        ignore_unknown_device: bool = False,
+        **timeit_kwargs) -> str:
+    """Tabulated measured-vs-roofline comparison (parity: reference
+    measure.py:484-525)."""
+    from tabulate import tabulate
+
+    if device_name is None:
+        import jax
+        device_name = get_device_key(jax.devices()[0])
+    measured = measure_giga_op_rate(
+        einsum, transform=transform, long_dim_length=long_dim_length,
+        **timeit_kwargs)
+    roofline = get_roofline_flop_rate(
+        einsum, device_name, long_dim_length=long_dim_length,
+        ignore_unknown_device=ignore_unknown_device)
+    rows = [["dtype", "measured GOps/s", "roofline GOps/s", "% roofline"]]
+    total = measured["total"]
+    if roofline is None:
+        rows.append(["total", f"{total:.1f}", "unknown", "-"])
+    else:
+        rows.append(["total", f"{total:.1f}", f"{roofline:.1f}",
+                     f"{100.0 * total / roofline:.1f}%"])
+    for k, v in sorted(measured.items()):
+        if k != "total":
+            rows.append([k, f"{v:.1f}", "-", "-"])
+    return tabulate(rows, headers="firstrow", tablefmt="fancy_grid")
+
+# }}}
+
+
+# {{{ device calibration
+
+def calibrate_device_peaks(*, sizes=(4096,), dtype="float32",
+                           n_iters: int = 20) -> dict:
+    """Measure achievable matmul GFLOP/s and HBM copy bandwidth on the
+    current default device (used to sanity-check/update the static tables)."""
+    import jax
+    import jax.numpy as jnp
+
+    results = {}
+    for size in sizes:
+        a = jnp.ones((size, size), dtype=dtype)
+        b = jnp.ones((size, size), dtype=dtype)
+        f = jax.jit(lambda a, b: a @ b)
+        f(a, b).block_until_ready()
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iters):
+            out = f(a, b)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / n_iters
+        results[f"matmul_{dtype}_{size}"] = 2 * size**3 / dt / 1e9
+
+    n = 64 * 1024 * 1024 // 4
+    x = jnp.ones((n,), dtype="float32")
+    g = jax.jit(lambda x: x * 2.0 + 1.0)
+    g(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        y = g(x)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+    results["stream_GBps"] = 2 * x.nbytes / dt / 1e9
+    return results
+
+# }}}
