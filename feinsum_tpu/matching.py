@@ -1,0 +1,315 @@
+"""
+Matcher: infer the :class:`BatchedEinsum` a JAX computation evaluates.
+
+The TPU-native analog of the reference's loopy-kernel matcher
+(``feinsum/loopy_utils/__init__.py:202-506``): instead of pattern-matching a
+``loopy.TranslationUnit`` against the einsum grammar, we trace a JAX callable
+to a jaxpr and run index-label unification over the primitives ``jnp.einsum``
+lowers to (``dot_general``/``transpose``/``reduce_sum``/``mul``/
+``broadcast_in_dim``/``convert_element_type``).  Each input axis gets a fresh
+label; primitives unify labels (union-find); the final classes become einsum
+index letters.  Axes at least ``long_dim_length`` long are promoted to
+:class:`SizeParam` (the reference's rule, loopy_utils/__init__.py:121-128).
+
+Grammar violations raise :class:`EinsumMatchError`.
+"""
+
+from __future__ import annotations
+
+import inspect
+import string
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .canonicalization import (
+    get_substitution_mapping_between_isomorphic_batched_einsums,
+)
+from .diagnostics import EinsumMatchError
+from .einsum import BatchedEinsum
+from .make_einsum import array as make_array, batched_einsum
+
+DEFAULT_LONG_DIM_LENGTH = 500
+
+
+class _Labels:
+    """Union-find over axis labels."""
+
+    def __init__(self) -> None:
+        self.parent: list = []
+
+    def fresh(self) -> int:
+        self.parent.append(len(self.parent))
+        return len(self.parent) - 1
+
+    def find(self, x: int) -> int:
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def unify(self, a: int, b: int) -> None:
+        a, b = self.find(a), self.find(b)
+        if a != b:
+            self.parent[max(a, b)] = min(a, b)
+
+
+class _Term:
+    """A labeled tensor value in the dataflow: which operand uses it reaches
+    back to, and the product/contraction structure so far."""
+
+    def __init__(self, labels, operands, contracted):
+        self.labels = tuple(labels)          # per-axis label ids
+        self.operands = tuple(operands)      # (input_index, axis labels) uses
+        self.contracted = frozenset(contracted)  # label ids summed over
+
+
+def _trace(fn: Callable, example_args) -> tuple:
+    import jax
+    jaxpr = jax.make_jaxpr(fn)(*example_args)
+    return jaxpr
+
+
+def get_a_matched_einsum(
+        fn: Callable, example_args: Sequence, *,
+        long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
+        arg_names: Optional[Sequence] = None) -> tuple:
+    """Match the traced *fn* against the batched-einsum grammar.
+
+    Returns ``(einsum, name_map)`` where the einsum's operand names are *fn*'s
+    parameter names and ``name_map`` maps them to input positions (parity:
+    reference ``get_a_matched_einsum``; the name map plays the bidict role).
+    """
+    import jax
+
+    if arg_names is None:
+        try:
+            sig = inspect.signature(fn)
+            arg_names = [p.name for p in sig.parameters.values()
+                         if p.kind in (p.POSITIONAL_ONLY,
+                                       p.POSITIONAL_OR_KEYWORD)]
+        except (TypeError, ValueError):
+            arg_names = []
+    if len(arg_names) < len(example_args):
+        arg_names = list(arg_names) + [
+            f"arg{i}" for i in range(len(arg_names), len(example_args))]
+
+    closed = _trace(fn, example_args)
+    jaxpr = closed.jaxpr
+    if closed.consts:
+        raise EinsumMatchError(
+            "matched function must not capture traced constants")
+
+    labels = _Labels()
+    env: dict = {}
+
+    in_axis_labels = []
+    for i, var in enumerate(jaxpr.invars):
+        axis_labels = [labels.fresh() for _ in var.aval.shape]
+        in_axis_labels.append(axis_labels)
+        env[var] = _Term(axis_labels, [(i, tuple(axis_labels))], ())
+
+    def read(atom):
+        from jax.extend.core import Literal
+        if isinstance(atom, Literal):
+            raise EinsumMatchError(
+                f"literal {atom} is not part of the einsum grammar")
+        if atom not in env:
+            raise EinsumMatchError(f"value {atom} has unknown provenance")
+        return env[atom]
+
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive.name
+        if prim == "dot_general":
+            a, b = read(eqn.invars[0]), read(eqn.invars[1])
+            (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+            for la, ra in zip(lc, rc):
+                labels.unify(a.labels[la], b.labels[ra])
+            for la, ra in zip(lb, rb):
+                labels.unify(a.labels[la], b.labels[ra])
+            batch = [a.labels[d] for d in lb]
+            lfree = [l for d, l in enumerate(a.labels)
+                     if d not in set(lc) | set(lb)]
+            rfree = [l for d, l in enumerate(b.labels)
+                     if d not in set(rc) | set(rb)]
+            out_labels = batch + lfree + rfree
+            contracted = (set(a.contracted) | set(b.contracted)
+                          | {a.labels[d] for d in lc})
+            env[eqn.outvars[0]] = _Term(
+                out_labels, a.operands + b.operands, contracted)
+        elif prim == "transpose":
+            a = read(eqn.invars[0])
+            perm = eqn.params["permutation"]
+            env[eqn.outvars[0]] = _Term(
+                [a.labels[p] for p in perm], a.operands, a.contracted)
+        elif prim == "reduce_sum":
+            a = read(eqn.invars[0])
+            axes = set(eqn.params["axes"])
+            out_labels = [l for d, l in enumerate(a.labels)
+                          if d not in axes]
+            contracted = set(a.contracted) | {a.labels[d] for d in axes}
+            env[eqn.outvars[0]] = _Term(out_labels, a.operands, contracted)
+        elif prim == "mul":
+            a, b = read(eqn.invars[0]), read(eqn.invars[1])
+            if len(a.labels) != len(b.labels):
+                raise EinsumMatchError(
+                    "elementwise product of mismatched ranks; broadcast"
+                    " explicitly")
+            for la, lb_ in zip(a.labels, b.labels):
+                labels.unify(la, lb_)
+            env[eqn.outvars[0]] = _Term(
+                a.labels, a.operands + b.operands,
+                set(a.contracted) | set(b.contracted))
+        elif prim == "broadcast_in_dim":
+            a = read(eqn.invars[0])
+            bdims = eqn.params["broadcast_dimensions"]
+            shape = eqn.params["shape"]
+            out_labels = [None] * len(shape)
+            for src, dst in enumerate(bdims):
+                out_labels[dst] = a.labels[src]
+            out_labels = [labels.fresh() if l is None else l
+                          for l in out_labels]
+            env[eqn.outvars[0]] = _Term(out_labels, a.operands, a.contracted)
+        elif prim in ("convert_element_type",):
+            a = read(eqn.invars[0])
+            env[eqn.outvars[0]] = _Term(a.labels, a.operands, a.contracted)
+        else:
+            raise EinsumMatchError(
+                f"primitive '{prim}' is outside the batched-einsum grammar")
+
+    # one einsum per jaxpr output = one batch row
+    rows = [read(v) for v in jaxpr.outvars]
+
+    # batched-einsum structure: rows share the output index space
+    # (positionally) and per-position operand index spaces
+    for row in rows[1:]:
+        if len(row.labels) != len(rows[0].labels):
+            raise EinsumMatchError("batch rows have different output ranks")
+        for la, lb in zip(rows[0].labels, row.labels):
+            labels.unify(la, lb)
+        if len(row.operands) != len(rows[0].operands):
+            raise EinsumMatchError(
+                "batch rows use different operand counts")
+        for (_, ls0), (_, lsk) in zip(rows[0].operands, row.operands):
+            if len(ls0) != len(lsk):
+                raise EinsumMatchError(
+                    "batch rows disagree on operand ranks")
+            for la, lb in zip(ls0, lsk):
+                labels.unify(la, lb)
+
+    # every label class must have a single consistent axis length
+    class_size: dict = {}
+    for i, var in enumerate(jaxpr.invars):
+        for lbl, size in zip(in_axis_labels[i], var.aval.shape):
+            root = labels.find(lbl)
+            if class_size.setdefault(root, size) != size:
+                raise EinsumMatchError(
+                    "unified axes have inconsistent lengths — not a valid"
+                    " batched einsum")
+
+    # assign letters per label class; outputs first for stable naming.
+    # letters must not collide with operand names (IR invariant)
+    letter_of: dict = {}
+    taken = set(arg_names)
+    letter_pool = iter(c for c in string.ascii_lowercase if c not in taken)
+
+    def letter(lbl: int) -> str:
+        root = labels.find(lbl)
+        if root not in letter_of:
+            try:
+                letter_of[root] = next(letter_pool)
+            except StopIteration:
+                raise EinsumMatchError("more than 26 distinct indices")
+        return letter_of[root]
+
+    out_subs = ["".join(letter(l) for l in row.labels) for row in rows]
+    if len(set(out_subs)) != 1:
+        raise EinsumMatchError(
+            f"batch rows disagree on output subscripts: {out_subs}")
+    for row in rows:
+        if len(set(labels.find(l) for l in row.labels)) != len(row.labels):
+            raise EinsumMatchError("output repeats an index")
+
+    # operands: all rows must use the same number of operands with the same
+    # per-position subscripts
+    row_ops = []
+    for row in rows:
+        ops = [(idx, "".join(letter(l) for l in ls))
+               for idx, ls in row.operands]
+        row_ops.append(ops)
+    n = len(row_ops[0])
+    if any(len(ops) != n for ops in row_ops):
+        raise EinsumMatchError("batch rows use different operand counts")
+    for j in range(n):
+        if len({ops[j][1] for ops in row_ops}) != 1:
+            raise EinsumMatchError(
+                f"batch rows disagree on operand {j} subscripts")
+
+    # axis lengths (+ long-axis promotion) and dtypes from the traced avals
+    def length_of(lbl: int, size: int):
+        if size >= long_dim_length:
+            return f"N{letter(lbl)}_"
+        return int(size)
+
+    arrays = []
+    for ops in row_ops:
+        row_arrays = []
+        for idx, subs in ops:
+            aval = jaxpr.invars[idx].aval
+            shape = [length_of(l, s)
+                     for l, s in zip(in_axis_labels[idx], aval.shape)]
+            row_arrays.append(
+                make_array(arg_names[idx], shape, np.dtype(aval.dtype)))
+        arrays.append(row_arrays)
+
+    in_spec = ",".join(ops_j[1] for ops_j in row_ops[0])
+    einsum = batched_einsum(f"{in_spec}->{out_subs[0]}", arrays)
+    name_map = {arg_names[i]: i for i in range(len(jaxpr.invars))}
+    return einsum, name_map
+
+
+def match_fn_to_einsum(fn: Callable, example_args: Sequence,
+                       ref_einsum: BatchedEinsum, *,
+                       long_dim_length: int = DEFAULT_LONG_DIM_LENGTH
+                       ) -> dict:
+    """Map *ref_einsum*'s entity names onto the names used by *fn* (parity:
+    reference ``match_t_unit_to_einsum``, loopy_utils/__init__.py:471-506)."""
+    matched, _ = get_a_matched_einsum(
+        fn, example_args, long_dim_length=long_dim_length)
+    return get_substitution_mapping_between_isomorphic_batched_einsums(
+        ref_einsum, matched)
+
+
+# reference-compatible alias (loopy_utils/__init__.py:509)
+identify_as_einsum = get_a_matched_einsum
+
+
+def abstract_long_axes(einsum: BatchedEinsum, *,
+                       long_dim_length: int = DEFAULT_LONG_DIM_LENGTH
+                       ) -> BatchedEinsum:
+    """Promote every concrete axis >= *long_dim_length* to a
+    :class:`SizeParam` (named ``N<index>_``), so concrete user shapes match
+    parametric archive entries."""
+    lengths = einsum.index_to_dim_length
+    promote = {ix for ix, ln in lengths.items()
+               if isinstance(ln, (int, np.integer)) and ln >= long_dim_length}
+    if not promote:
+        return einsum
+
+    args = [[make_array(arg.name,
+                        [f"N{ix}_" if ix in promote else ln
+                         for ix, ln in zip(idx_set, arg.shape)],
+                        arg.dtype)
+             for arg, idx_set in zip(row, einsum.in_idx_sets)]
+            for row in einsum.args]
+    from .make_einsum import batched_einsum as be
+    subs = (",".join("".join(s) for s in einsum.in_idx_sets)
+            + "->" + "".join(einsum.out_idx_set))
+    return be(subs, args)
+
+
+def map_names(ref_einsum: BatchedEinsum, user_einsum: BatchedEinsum) -> dict:
+    """Substitution map ref names -> user names (for impls applying an
+    archived, canonically-named transform to a user's program)."""
+    return get_substitution_mapping_between_isomorphic_batched_einsums(
+        ref_einsum, user_einsum)

@@ -255,17 +255,85 @@ def validate_batched_einsum_transform(
 
 # {{{ timing
 
+def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
+                     max_iters: int = 200_000) -> float:
+    """Per-iteration seconds of ``fn`` measured with the whole loop inside one
+    jit: iterations are chained through a tiny data dependency (an
+    underflow-scale perturbation of the smallest input) so neither XLA nor an
+    async dispatch layer can elide or overlap them; the fence is a scalar
+    reduction (never download the outputs); fixed host/RPC costs cancel via a
+    (k2 iters) - (k1 iters) difference, with k2 grown adaptively until the
+    on-device work dominates the round-trip noise.  This is the honest
+    kernel-time protocol on hardware behind an RPC relay, where
+    block_until_ready can return early and per-launch host timing is noise."""
+    import jax
+    import jax.numpy as jnp
+
+    names = sorted(arrays)
+    smallest = min(names, key=lambda n: arrays[n].size)
+
+    def body(_, carry):
+        arrs, acc = carry
+        outs = fn(arrs)
+        # one element of the output feeds the accumulator: the call cannot be
+        # dead-code-eliminated, and reading 4 bytes adds no HBM traffic
+        probe = outs[0].ravel()[0].astype(jnp.float32)
+        acc = acc * 0.5 + probe
+        # an underflow-scale single-element in-place update makes the next
+        # iteration's input depend on this one: no hoisting/CSE, no copies
+        eps = (acc * jnp.asarray(1e-45, jnp.float32)).astype(
+            arrs[smallest].dtype)
+        pert = dict(arrs)
+        flat_idx = (0,) * arrays[smallest].ndim
+        pert[smallest] = arrs[smallest].at[flat_idx].add(eps)
+        return pert, acc
+
+    @jax.jit
+    def run(arrs, k):
+        # dynamic trip count: one compilation serves every k
+        arrs, acc = jax.lax.fori_loop(0, k, body, (arrs, jnp.float32(0)),
+                                      unroll=False)
+        outs = fn(arrs)
+        return acc + outs[0].ravel()[0].astype(jnp.float32)
+
+    def timed(k, reps=3):
+        vals = []
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(arrays, k))
+            vals.append(time.perf_counter() - t0)
+        return sorted(vals)[len(vals) // 2]
+
+    _ = float(run(arrays, 1))   # warm / compile
+    k1 = 8
+    t1 = timed(k1)
+    k2 = 64
+    while k2 < max_iters:
+        t2 = timed(k2, reps=1)
+        if t2 - t1 > min_work_seconds:
+            break
+        per_iter = max((t2 - t1) / (k2 - k1), 1e-7)
+        k2 = min(max_iters,
+                 max(2 * k2, k1 + int(min_work_seconds / per_iter)))
+    t2 = timed(k2)
+    return max((t2 - t1) / (k2 - k1), 1e-9)
+
+
 def timeit(einsum: BatchedEinsum, *,
            transform: Optional[TransformT] = None,
            long_dim_length: int = 100_000,
            validate: bool = True,
            validation_long_dim_length: int = 100,
            min_rounds: int = N_MIN_TIMING_ROUNDS,
-           min_seconds: float = MIN_TIMING_SECS) -> float:
-    """Mean wall-clock seconds per launch of the (transformed) einsum
-    program: validate first, 5 warmup launches, then batches of 5 until both
-    >= *min_rounds* rounds and >= *min_seconds* elapsed (reference protocol,
-    measure.py:35-37, 197-275)."""
+           min_seconds: float = MIN_TIMING_SECS,
+           method: str = "auto") -> float:
+    """Mean seconds per launch of the (transformed) einsum program: validate
+    first, then time.  ``method="host"`` follows the reference protocol
+    (5 warmups, batches of 5 until >= *min_rounds* rounds and >=
+    *min_seconds*; reference measure.py:35-37, 197-275); ``"in_graph"`` chains
+    iterations inside one jit (see :func:`_timeit_in_graph`).  ``"auto"``
+    picks in_graph on TPU (whose dispatch may be remote/async) and host
+    otherwise."""
     import jax
 
     if validate:
@@ -278,6 +346,12 @@ def timeit(einsum: BatchedEinsum, *,
     arrays = generate_input_arrays(einsum, long_dim_length=long_dim_length)
     arrays = _apply_layouts(program, arrays)
     fn = build_executable(program, long_dim_length=long_dim_length)
+
+    if method == "auto":
+        method = ("in_graph" if jax.devices()[0].platform == "tpu"
+                  else "host")
+    if method == "in_graph":
+        return _timeit_in_graph(fn, arrays)
 
     for _ in range(N_WARMUP_ROUNDS):
         out = fn(arrays)

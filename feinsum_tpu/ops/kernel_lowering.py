@@ -1,0 +1,278 @@
+"""
+In-kernel lowering of schedule steps to Mosaic-friendly primitives.
+
+Mosaic (the Pallas TPU compiler) reliably supports 2D ``dot_general`` with
+arbitrary single contracting dims, elementwise/broadcast VPU ops up to 4D,
+static slicing, and axis reductions — but NOT the general batched/multi-dim
+dot_generals that ``jnp.einsum`` emits (verified empirically on TPU v5e).
+
+So each step of a contraction schedule is lowered with every tensor-in-flight
+represented as a :class:`Rep`:
+
+  * ``big``  — at most two "vector" axes kept as array dims: the long/grid
+               axis ``e`` (rows/sublanes) and one lane axis;
+  * ``small``— all other (tiny, static) axes unrolled into a dict of slices.
+
+A step then becomes, per combination of unrolled indices:
+  * an MXU 2D dot over one chosen contraction axis ``k`` when the factor
+    pieces split into an (e,k) side and a (k,n) side,
+  * otherwise VPU broadcast-products and axis-sums (e.g. reductions over the
+    long axis, or tiny contracted axes folded into unrolled sums).
+
+This is the TPU analog of the reference's loop-nest transforms: the grid is
+``split_iname(e)``; ``big`` lanes are the vectorized inames; ``small`` axes
+are ``unr``-tagged unrolled inames; VMEM residency of constant-index blocks
+is ``add_prefetch`` (cf. tuning/impls/xre_rij_xej_to_ei_v4.py steps 0-9).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Optional
+
+from ..diagnostics import InvalidParameterError
+
+MAX_UNROLL_COMBOS = 1024
+
+
+@dataclass
+class Rep:
+    """A tensor-in-flight: ``data[key]`` has dims ``big`` (order meaningful),
+    keyed by the values of the ``small`` axes."""
+
+    small: tuple
+    big: tuple
+    data: dict
+
+    def rename(self, mapping: dict) -> "Rep":
+        return Rep(tuple(mapping[l] for l in self.small),
+                   tuple(mapping[l] for l in self.big),
+                   self.data)
+
+    def get(self, combo: dict):
+        return self.data[tuple(combo[l] for l in self.small)]
+
+
+def rep_from_block(block, letters, e_letter, lengths) -> Rep:
+    """Decompose a loaded (<=4D) VMEM block into a Rep: the long axis and the
+    last non-long axis stay as array dims, everything else is unrolled."""
+    letters = tuple(letters)
+    if len(set(letters)) != len(letters):
+        raise InvalidParameterError(
+            f"repeated index within one operand ({letters}) is not supported"
+            " by the pallas backend")
+    big_set = set()
+    if e_letter in letters:
+        big_set.add(e_letter)
+    non_e = [l for l in letters if l != e_letter]
+    # keep trailing non-grid axes as array dims, up to 2 total
+    for l in reversed(non_e):
+        if len(big_set) >= 2:
+            break
+        big_set.add(l)
+    big = [l for l in letters if l in big_set]  # appearance order
+    small = tuple(l for l in letters if l not in big_set)
+
+    combos = 1
+    for l in small:
+        combos *= lengths[l]
+    if combos > MAX_UNROLL_COMBOS:
+        raise InvalidParameterError(
+            f"unrolling {small} needs {combos} slices (> {MAX_UNROLL_COMBOS})")
+
+    data = {}
+    for key in itertools.product(*[range(lengths[l]) for l in small]):
+        idx = []
+        ki = iter(key)
+        for l in letters:
+            idx.append(slice(None) if l in big_set else next(ki))
+        # piece dims follow appearance order == `big` order
+        data[key] = block[tuple(idx)]
+    return Rep(small, tuple(big), data)
+
+
+def _bcast_to(piece_axes, piece, target_axes):
+    """Broadcastable view of *piece* (dims = piece_axes) against a target
+    axis order (len<=2)."""
+    if piece_axes == tuple(target_axes):
+        return piece
+    if len(piece_axes) == 2:
+        assert set(piece_axes) == set(target_axes)
+        return piece.swapaxes(0, 1)
+    if len(piece_axes) == 0:
+        return piece
+    (ax,) = piece_axes
+    pos = target_axes.index(ax)
+    if len(target_axes) == 1:
+        return piece
+    return piece[:, None] if pos == 0 else piece[None, :]
+
+
+def _product(pieces, target_axes):
+    """Elementwise product of (axes, array) pieces broadcast to target_axes
+    (None -> scalar product)."""
+    out = None
+    for axes, arr in pieces:
+        arr = _bcast_to(axes, arr, target_axes or ())
+        out = arr if out is None else out * arr
+    return out
+
+
+def lower_step(factor_reps, out_letters, e_letter, lengths, *,
+               accum_dtype=None) -> Rep:
+    """Compute one schedule step from factor Reps; returns the result Rep."""
+    import jax
+    import jax.numpy as jnp
+
+    out_letters = tuple(out_letters)
+    all_letters = []
+    for rep in factor_reps:
+        for l in rep.small + rep.big:
+            if l not in all_letters:
+                all_letters.append(l)
+    contracted = [l for l in all_letters if l not in out_letters]
+    e_present = e_letter is not None and any(
+        e_letter in r.big for r in factor_reps)
+    e_in_out = e_present and e_letter in out_letters
+    e_contracted = e_present and not e_in_out
+
+    def is_big_somewhere(l):
+        return any(l in r.big for r in factor_reps)
+
+    # lane axis of the output
+    n_candidates = [l for l in out_letters
+                    if l != e_letter and is_big_somewhere(l)]
+    n_ax = n_candidates[-1] if n_candidates else None
+
+    # contraction axis fed to the MXU: must be a big (array) axis in every
+    # factor that carries it — if it's an unrolled axis anywhere, the whole
+    # contraction over it unrolls into a VPU sum instead
+    k_candidates = [
+        l for l in contracted
+        if l != e_letter and is_big_somewhere(l)
+        and all(l in r.big for r in factor_reps if l in r.small + r.big)]
+    k_ax = (max(k_candidates, key=lambda l: lengths[l])
+            if k_candidates else None)
+
+    keep = {l for l in (e_letter if e_present else None, n_ax, k_ax)
+            if l is not None}
+    unroll = [l for l in all_letters if l not in keep]
+    combos = 1
+    for l in unroll:
+        combos *= lengths[l]
+    if combos > MAX_UNROLL_COMBOS:
+        raise InvalidParameterError(
+            f"step unroll over {unroll} needs {combos} combos")
+
+    reps = []
+    for rep in factor_reps:
+        for l in list(rep.big):
+            if l in unroll:
+                rep = _demote(rep, l, lengths)
+        reps.append(rep)
+
+    out_small = tuple(l for l in out_letters if l in unroll)
+    sum_small = [l for l in contracted if l in unroll]
+
+    result_big = tuple(l for l in (e_letter if e_in_out else None, n_ax)
+                       if l is not None)
+    result = {}
+    for out_key in itertools.product(*[range(lengths[l]) for l in out_small]):
+        out_combo = dict(zip(out_small, out_key))
+        acc = None
+        for sum_key in itertools.product(
+                *[range(lengths[l]) for l in sum_small]):
+            combo = {**out_combo, **dict(zip(sum_small, sum_key))}
+            pieces = [(r.big, r.get(combo)) for r in reps]
+            val = _contract_pieces(
+                pieces, e_letter if e_present else None, e_contracted,
+                k_ax, n_ax, result_big, accum_dtype, jax, jnp)
+            acc = val if acc is None else acc + val
+        # materialize to the full block shape so downstream consumers and
+        # ref-stores see exact shapes
+        if result_big:
+            full = tuple(lengths[l] for l in result_big)
+            if acc.shape != full:
+                acc = jnp.broadcast_to(acc, full)
+        result[out_key] = acc
+    return Rep(out_small, result_big, result)
+
+
+def _demote(rep: Rep, letter, lengths) -> Rep:
+    axis = rep.big.index(letter)
+    new_big = tuple(l for l in rep.big if l != letter)
+    data = {}
+    for key, arr in rep.data.items():
+        for v in range(lengths[letter]):
+            idx = tuple(v if i == axis else slice(None)
+                        for i in range(len(rep.big)))
+            data[key + (v,)] = arr[idx]
+    return Rep(rep.small + (letter,), new_big, data)
+
+
+def _contract_pieces(pieces, e, e_contracted, k, n, result_big, accum_dtype,
+                     jax, jnp):
+    """Contract factor pieces (each dims subset of {e,k,n}) over k (MXU when
+    possible) and over e when e is contracted (VPU sum)."""
+    dot_kwargs = {}
+    if accum_dtype is not None:
+        dot_kwargs["preferred_element_type"] = accum_dtype
+
+    post = [(axes, arr) for axes, arr in pieces if k is None or k not in axes]
+    kgroup = [(axes, arr) for axes, arr in pieces
+              if k is not None and k in axes]
+
+    if kgroup:
+        aside = [(a, x) for a, x in kgroup if e is not None and e in a]
+        bside = [(a, x) for a, x in kgroup if n is not None and n in a]
+        konly = [(a, x) for a, x in kgroup if a == (k,)]
+        assert len(aside) + len(bside) + len(konly) == len(kgroup), (
+            "unclassifiable k-group piece (axes beyond {e,k,n}?)")
+        if aside and (bside or konly):
+            A = _product(aside, (e, k))                            # (e, k)
+            B = _product(bside + konly, (k, n) if n else (k,))
+            if n is not None:
+                core = jax.lax.dot_general(
+                    A, B, (((1,), (0,)), ((), ())), **dot_kwargs)  # (e, n)
+                core_axes = (e, n)
+            else:
+                core = jnp.sum(A * B[None, :], axis=1)             # (e,)
+                core_axes = (e,)
+        elif aside:
+            core = jnp.sum(_product(aside + konly, (e, k)), axis=1)
+            core_axes = (e,)
+        else:
+            prod = _product(bside + konly, (k, n) if n else (k,))
+            core = jnp.sum(prod, axis=0)
+            core_axes = (n,) if n else ()
+    else:
+        core = None
+        core_axes = ()
+
+    # fold in the k-free pieces
+    target = tuple(l for l in (e, n) if l is not None)
+    if post or core is None:
+        p = _product(post, target) if post else None
+        if core is None:
+            core, core_axes = p, target if p is not None else ()
+        elif p is not None:
+            core = _bcast_to(core_axes, core, target) * p
+            core_axes = target
+    # reduce over e if it's contracted
+    if e_contracted and core_axes and e in core_axes:
+        core = jnp.sum(core, axis=core_axes.index(e))
+        core_axes = tuple(l for l in core_axes if l != e)
+
+    # normalize to result_big order
+    if core_axes != result_big:
+        if set(core_axes) == set(result_big):
+            core = core.swapaxes(0, 1)
+        else:
+            # broadcast missing axes (pieces independent of an output axis)
+            missing = [l for l in result_big if l not in core_axes]
+            for l in missing:
+                pos = result_big.index(l)
+                core = jnp.expand_dims(core, pos)
+            core_axes = result_big
+    return core

@@ -1,0 +1,299 @@
+"""
+Pallas emitter: lower an :class:`EinsumProgram` to one fused TPU kernel.
+
+Design (TPU-first, no loopy analog):
+
+* The parametric "long" axis (DG element axis; reference Def. S in
+  doc/design.rst, tuned at long_dim_length=100_000) becomes the Pallas grid.
+  Operands carrying it stream HBM->VMEM block by block; operands without it
+  (the small reference matrices) keep a constant block index, so Mosaic
+  leaves them resident in VMEM across the whole grid — the TPU equivalent of
+  the reference's LOCAL-memory prefetch of ``D`` (e.g.
+  tuning/impls/xre_rij_xej_to_ei_v4.py steps 4-6).
+* ALL schedule steps are evaluated inside the kernel on the current block:
+  multi-step (hoisted) schedules never materialize intermediates in HBM —
+  where the reference writes GLOBAL temporaries (codegen/loopy.py:263-273),
+  we hold them in VMEM/registers.  This is the main HBM-traffic win.
+* If the long axis is *contracted*, the grid becomes a reduction: the output
+  block index is constant and the kernel accumulates with an init on the
+  first grid step ("arbitrary" dimension semantics).
+* Everything else (step algebra) is expressed with jnp.einsum on VMEM
+  blocks, which Mosaic lowers to MXU dot_generals + VPU ops.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..diagnostics import InvalidParameterError
+from ..einsum import SizeParam
+
+
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _pick_grid_index(program, index_to_length) -> Optional[str]:
+    """The axis to grid over: descriptor override, else the unique SizeParam
+    axis, else the longest axis; None if nothing is long enough to block."""
+    desc = program.descriptor
+    e = program.einsum
+    if desc.grid_index is not None:
+        return desc.grid_index
+    params = [ix for ix, ln in e.index_to_dim_length.items()
+              if isinstance(ln, SizeParam)]
+    if len(params) == 1:
+        return params[0]
+    if len(params) > 1:
+        # prefer a parametric *output* axis (independent blocks)
+        out_params = [ix for ix in e.out_idx_set if ix in params]
+        return (out_params or params)[0]
+    # fully concrete einsum: grid over the longest free axis if it's big
+    candidates = sorted(e.out_idx_set,
+                        key=lambda ix: -index_to_length[ix])
+    if candidates and index_to_length[candidates[0]] >= 2 * 1024:
+        return candidates[0]
+    return None
+
+
+def _arg_index_sets(einsum) -> dict:
+    out = {}
+    for row in einsum.args:
+        for arg, idx_set in zip(row, einsum.in_idx_sets):
+            out[arg.name] = idx_set
+    return out
+
+
+def estimate_block_vmem_bytes(einsum, block_long: int,
+                              index_to_length: dict,
+                              grid_index: Optional[str] = None) -> int:
+    """Rough per-grid-step VMEM demand of the fused kernel: double-buffered
+    streaming blocks + resident operands + output blocks + one intermediate
+    working set.  Used by schedule spaces as their InvalidParameterError
+    guard (the TPU analog of the reference impls' shared-mem <= 48 kB
+    checks, e.g. cogent.py:16-18)."""
+    lengths = dict(index_to_length)
+    if grid_index is None:
+        from ..einsum import SizeParam
+        params = [ix for ix, ln in einsum.index_to_dim_length.items()
+                  if isinstance(ln, SizeParam)]
+        grid_index = params[0] if params else None
+    arg_idx = _arg_index_sets(einsum)
+    total = 0
+    for name, idx_set in arg_idx.items():
+        size = 1
+        for ix in idx_set:
+            size *= block_long if ix == grid_index else lengths[ix]
+        mult = 2 if grid_index in idx_set else 1   # double buffering
+        total += size * einsum.arg_to_dtype[name].itemsize * mult
+    out_size = 1
+    for ix in einsum.out_idx_set:
+        out_size *= block_long if ix == grid_index else lengths[ix]
+    total += einsum.b * out_size * 4 * 2
+    # intermediates: assume one extra output-sized f32 working set per row
+    total += einsum.b * out_size * 4 * 2
+    return total
+
+
+def build_pallas_executable(program, index_to_length: dict):
+    """Compile *program* with the Pallas backend; returns
+    ``fn(arrays_by_name) -> tuple`` like the XLA backend."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..codegen.program import output_dtype
+    from ..contraction_schedule import EinsumOperand, IntermediateResult
+
+    e = program.einsum
+    desc = program.descriptor
+    lengths = dict(index_to_length)
+
+    grid_ix = _pick_grid_index(program, lengths)
+    arg_idx = _arg_index_sets(e)
+    layouts = desc.arg_layouts_map
+
+    # stored (HBM) subscript per arg after layout permutation
+    stored_idx = {}
+    for name, idx_set in arg_idx.items():
+        perm = layouts.get(name)
+        stored_idx[name] = (tuple(idx_set[p] for p in perm) if perm is not None
+                            else tuple(idx_set))
+
+    if grid_ix is None:
+        grid = (1,)
+        block_long = None
+    else:
+        L = lengths[grid_ix]
+        block_long = min(desc.block_long, L)
+        grid = (pl.cdiv(L, block_long),)
+
+    long_is_contracted = (grid_ix is not None
+                          and grid_ix not in e.out_idx_set)
+    if long_is_contracted and grid[0] > 1 and desc.dimension_semantics \
+            == "parallel":
+        raise InvalidParameterError(
+            "cannot use 'parallel' grid semantics when the grid axis is"
+            " contracted (the kernel accumulates across grid steps)")
+
+    def block_shape_of(idx_tuple):
+        return tuple(
+            block_long if ix == grid_ix else lengths[ix]
+            for ix in idx_tuple)
+
+    def index_map_of(idx_tuple):
+        def imap(g):
+            return tuple(g if ix == grid_ix else 0 for ix in idx_tuple)
+        return imap
+
+    arg_names = sorted(e.all_args)
+    in_specs = [
+        pl.BlockSpec(block_shape_of(stored_idx[name]),
+                     index_map_of(stored_idx[name]))
+        for name in arg_names]
+
+    out_dtypes = [output_dtype(e, r) for r in range(e.b)]
+    out_idx = tuple(e.out_idx_set)
+    out_block = block_shape_of(out_idx)
+    out_shapes = [
+        jax.ShapeDtypeStruct(tuple(lengths[ix] for ix in out_idx), dt)
+        for dt in out_dtypes]
+    out_specs = [pl.BlockSpec(out_block, index_map_of(out_idx))
+                 for _ in range(e.b)]
+
+    n_rows = e.b
+    schedule = program.schedule
+    accum = jnp.dtype(desc.accum_dtype) if desc.accum_dtype else None
+    compute_dtype = (jnp.dtype(desc.compute_dtype)
+                     if desc.compute_dtype else None)
+
+    from .kernel_lowering import Rep, lower_step, rep_from_block
+
+    # in-kernel axis lengths: the grid axis shrinks to one block
+    lengths_kernel = dict(lengths)
+    if grid_ix is not None:
+        lengths_kernel[grid_ix] = block_long
+
+    def row_result(row, rep_cache, blocks_by_name) -> "Rep":
+        env = {}
+        result = None
+        for subs, name, step_args in zip(schedule.subscripts,
+                                         schedule.result_names,
+                                         schedule.arguments):
+            ins_sub, out_sub = subs.replace(" ", "").split("->")
+            ins_subs = ins_sub.split(",")
+            factors = []
+            for a, s in zip(step_args, ins_subs):
+                if isinstance(a, EinsumOperand):
+                    arg = e.args[row][a.position]
+                    use_letters = e.in_idx_sets[a.position]
+                    # physical block axes = stored permutation of this use's
+                    # letters
+                    perm = layouts.get(arg.name)
+                    stored_use = (tuple(use_letters[p] for p in perm)
+                                  if perm is not None else tuple(use_letters))
+                    key = (arg.name, stored_use)
+                    if key not in rep_cache:
+                        blk = blocks_by_name[arg.name]
+                        if compute_dtype is not None:
+                            blk = blk.astype(compute_dtype)
+                        rep_cache[key] = rep_from_block(
+                            blk, stored_use, grid_ix, lengths_kernel)
+                    rep = rep_cache[key]
+                    # step letters may differ from einsum letters
+                    trans = dict(zip(use_letters, s))
+                    if any(trans[l] != l for l in use_letters):
+                        rep = rep.rename(trans)
+                    factors.append(rep)
+                else:
+                    assert isinstance(a, IntermediateResult)
+                    factors.append(env[a.name])
+            env[name] = lower_step(
+                factors, tuple(out_sub), grid_ix, lengths_kernel,
+                accum_dtype=accum)
+            result = env[name]
+        return result
+
+    # when the long axis is contracted and the last block is padded, the pad
+    # garbage would enter the accumulated sum: zero-mask every block that
+    # carries the grid axis (0 * garbage = 0 keeps all step products exact)
+    needs_tail_mask = (long_is_contracted and grid_ix is not None
+                       and lengths[grid_ix] % (block_long or 1) != 0)
+
+    def _mask_tail(name, blk):
+        if not needs_tail_mask or grid_ix not in stored_idx[name]:
+            return blk
+        axis = stored_idx[name].index(grid_ix)
+        pos = (jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
+               + pl.program_id(0) * block_long)
+        return jnp.where(pos < lengths[grid_ix], blk,
+                         jnp.zeros_like(blk))
+
+    def kernel(*refs):
+        in_refs = refs[:len(arg_names)]
+        out_refs = refs[len(arg_names):]
+        blocks = {name: _mask_tail(name, ref[...])
+                  for name, ref in zip(arg_names, in_refs)}
+        rep_cache: dict = {}
+        for row in range(n_rows):
+            res = row_result(row, rep_cache, blocks)
+            # store every unrolled slice of the result Rep
+            for key, val in res.data.items():
+                combo = dict(zip(res.small, key))
+                idx = tuple(combo[l] if l in res.small else slice(None)
+                            for l in out_idx)
+                # value dims follow res.big; match the output's big-axis order
+                out_big = tuple(l for l in out_idx if l not in res.small)
+                if len(res.big) == 2 and tuple(res.big) != out_big:
+                    val = val.swapaxes(0, 1)
+                val = val.astype(out_dtypes[row])
+                if long_is_contracted and grid[0] > 1:
+                    @pl.when(pl.program_id(0) == 0)
+                    def _init(row=row, idx=idx, val=val):
+                        out_refs[row][idx] = val
+
+                    @pl.when(pl.program_id(0) > 0)
+                    def _acc(row=row, idx=idx, val=val):
+                        out_refs[row][idx] = out_refs[row][idx] + val
+                else:
+                    out_refs[row][idx] = val
+
+    interpret = desc.interpret
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    compiler_params = None
+    if not interpret:
+        dim_sem = ("arbitrary" if long_is_contracted
+                   else desc.dimension_semantics,)
+        kw = {"dimension_semantics": dim_sem,
+              # Mosaic's default scoped-vmem cap (~16M) is far below the
+              # chip's VMEM; give kernels room unless the schedule says less
+              "vmem_limit_bytes": int(desc.vmem_limit_bytes
+                                      or 100 * 1024 * 1024)}
+        compiler_params = pltpu.CompilerParams(**kw)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if n_rows > 1 else out_specs[0],
+        out_shape=tuple(out_shapes) if n_rows > 1 else out_shapes[0],
+        interpret=interpret,
+        **({"compiler_params": compiler_params} if compiler_params else {}),
+    )
+
+    def fn(arrays_by_name: dict):
+        outs = call(*[arrays_by_name[name] for name in arg_names])
+        return outs if n_rows > 1 else (outs,)
+
+    return jax.jit(fn)

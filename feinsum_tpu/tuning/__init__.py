@@ -1,0 +1,343 @@
+"""
+Autotuning: parameter-space DSL, decorators, and the on-device search driver.
+
+Parity with the reference (``feinsum/tuning/__init__.py``):
+
+* :class:`IntParameter`/:class:`BoolParameter`/:class:`TupleParameter` and the
+  ``@transform_param`` / ``@einsum_arg`` decorators are the same DSL
+  (reference :64-195);
+* transform-space modules live in ``tuning/impls`` and are loaded by path
+  (reference ``get_transform_func_from_module_path``, :217);
+* the search driver replaces OpenTuner with a seeded random + mutation
+  hill-climb over the flattened space, with the same DB semantics: seed from
+  prior rows, skip configs already in the DB, score invalid/mismatching
+  points as ``inf``, and record every measured point immediately
+  (reference :418-567).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from ..diagnostics import InvalidParameterError, TransformValidationError
+from ..einsum import BatchedEinsum
+
+logger = logging.getLogger(__name__)
+
+
+# {{{ parameter DSL
+
+@dataclass(frozen=True)
+class IntParameter:
+    """An integer tuning knob in ``[low, high]`` (inclusive)."""
+
+    low: int
+    high: int
+
+    def sample(self, rng) -> int:
+        return int(rng.integers(self.low, self.high + 1))
+
+    def mutate(self, value, rng) -> int:
+        step = max(1, (self.high - self.low) // 8)
+        return int(np.clip(value + rng.integers(-step, step + 1),
+                           self.low, self.high))
+
+    def contains(self, value) -> bool:
+        return isinstance(value, (int, np.integer)) \
+            and self.low <= value <= self.high
+
+
+@dataclass(frozen=True)
+class BoolParameter:
+    """A boolean tuning knob."""
+
+    def sample(self, rng) -> bool:
+        return bool(rng.integers(0, 2))
+
+    def mutate(self, value, rng) -> bool:
+        return not value
+
+    def contains(self, value) -> bool:
+        return isinstance(value, (bool, np.bool_))
+
+
+@dataclass(frozen=True)
+class TupleParameter:
+    """Cartesian product of sub-parameters."""
+
+    subparams: tuple
+
+    def sample(self, rng) -> tuple:
+        return tuple(p.sample(rng) for p in self.subparams)
+
+    def mutate(self, value, rng) -> tuple:
+        i = int(rng.integers(0, len(self.subparams)))
+        out = list(value)
+        out[i] = self.subparams[i].mutate(value[i], rng)
+        return tuple(out)
+
+    def contains(self, value) -> bool:
+        return (isinstance(value, (tuple, list))
+                and len(value) == len(self.subparams)
+                and all(p.contains(v)
+                        for p, v in zip(self.subparams, value)))
+
+
+ParameterT = Any  # IntParameter | BoolParameter | TupleParameter
+
+# }}}
+
+
+# {{{ decorators -> ParametrizedTransform
+
+def transform_param(name: str, func: Callable[[BatchedEinsum], ParameterT]):
+    """Declare a tuning parameter of the decorated transform; *func* maps the
+    einsum to the parameter's space (reference tuning/__init__.py:139)."""
+    def wrapper(fn):
+        pt = _as_parametrized(fn)
+        pt.transform_params[name] = func
+        return pt
+    return wrapper
+
+
+def einsum_arg(name: str, func: Callable[[BatchedEinsum], Any]):
+    """Declare an argument computed from the einsum itself (e.g. ndof)
+    (reference tuning/__init__.py:110)."""
+    def wrapper(fn):
+        pt = _as_parametrized(fn)
+        pt.einsum_args[name] = func
+        return pt
+    return wrapper
+
+
+class ParametrizedTransform:
+    """A transform function plus its declared einsum-args and tuning
+    parameters (reference tuning/__init__.py:173-195)."""
+
+    def __init__(self, fn: Callable) -> None:
+        self.fn = fn
+        self.einsum_args: dict = {}
+        self.transform_params: dict = {}
+
+    def get_param_space(self, einsum: BatchedEinsum) -> dict:
+        return {name: func(einsum)
+                for name, func in self.transform_params.items()}
+
+    def bind_args(self, einsum: BatchedEinsum, **params):
+        """Return a ``TransformT``: program -> program with everything
+        bound."""
+        kwargs = {name: func(einsum)
+                  for name, func in self.einsum_args.items()}
+        kwargs.update(params)
+
+        def transform(program):
+            return self.fn(program, **kwargs)
+        return transform
+
+    def __call__(self, program, einsum: Optional[BatchedEinsum] = None,
+                 **params):
+        e = einsum if einsum is not None else program.einsum
+        return self.bind_args(e, **params)(program)
+
+
+def _as_parametrized(fn) -> ParametrizedTransform:
+    if isinstance(fn, ParametrizedTransform):
+        return fn
+    return ParametrizedTransform(fn)
+
+# }}}
+
+
+# {{{ impl module loading
+
+def _get_impls_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "impls")
+
+
+def get_transform_func_from_module_path(module_path: str
+                                        ) -> ParametrizedTransform:
+    """Load ``transform`` from a transform-space module (reference
+    tuning/__init__.py:217-237).  Accepts a path with or without ``.py``."""
+    if not module_path.endswith(".py"):
+        module_path = module_path + ".py"
+    if not os.path.isabs(module_path) and not os.path.exists(module_path):
+        module_path = os.path.join(_get_impls_path(), module_path)
+    name = "feinsum_tpu_impl_" + os.path.basename(module_path)[:-3]
+    spec = importlib.util.spec_from_file_location(name, module_path)
+    if spec is None or spec.loader is None:
+        raise FileNotFoundError(module_path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    transform = module.transform
+    if not isinstance(transform, ParametrizedTransform):
+        raise TypeError(
+            f"{module_path}: 'transform' must be decorated with"
+            " @transform_param/@einsum_arg")
+    return transform
+
+# }}}
+
+
+# {{{ space flattening (for search + DB serialization)
+
+def _flatten_space(space: dict) -> list:
+    """[(key-path, leaf parameter)] in deterministic order."""
+    out = []
+    for name in sorted(space):
+        p = space[name]
+        if isinstance(p, TupleParameter):
+            for i, sub in enumerate(p.subparams):
+                out.append(((name, i), sub))
+        else:
+            out.append(((name,), p))
+    return out
+
+
+def _config_to_params(space: dict, config: dict) -> dict:
+    params = {}
+    for name in sorted(space):
+        p = space[name]
+        if isinstance(p, TupleParameter):
+            params[name] = tuple(config[(name, i)]
+                                 for i in range(len(p.subparams)))
+        else:
+            params[name] = config[(name,)]
+    return params
+
+
+def _params_to_config(space: dict, params: dict) -> dict:
+    config = {}
+    for name in sorted(space):
+        p = space[name]
+        v = params[name]
+        if isinstance(p, TupleParameter):
+            for i in range(len(p.subparams)):
+                config[(name, i)] = v[i]
+        else:
+            config[(name,)] = v
+    return config
+
+
+def validate_params_in_space(space: dict, params: dict) -> bool:
+    return (set(params) == set(space)
+            and all(space[k].contains(v) for k, v in params.items()))
+
+# }}}
+
+
+# {{{ autotune driver
+
+def autotune(einsum: BatchedEinsum, module_path: str, *,
+             device=None,
+             db_path: Optional[str] = None,
+             long_dim_length: int = 100_000,
+             stop_after: Optional[float] = None,
+             test_limit: Optional[int] = None,
+             skip_value_mismatch: bool = False,
+             seed: int = 0,
+             timeit_kwargs: Optional[dict] = None) -> None:
+    """Explore *module_path*'s transform space on *einsum*, recording every
+    measured point into the archive (parity: reference
+    tuning/__init__.py:573-633; search driver is first-party: seeded random +
+    mutation hill-climb instead of OpenTuner)."""
+    from .. import sql_utils
+    from ..canonicalization import canonicalize_einsum
+    from ..measure import timeit
+
+    if db_path is None:
+        db_path = sql_utils.DEFAULT_DB
+    timeit_kwargs = dict(timeit_kwargs or {})
+
+    einsum = canonicalize_einsum(einsum)
+    transform_space = get_transform_func_from_module_path(module_path)
+    space = transform_space.get_param_space(einsum)
+    flat = _flatten_space(space)
+    transform_id = os.path.basename(
+        module_path if module_path.endswith(".py") else module_path + ".py")
+
+    rng = np.random.default_rng(seed)
+    seen: set = set()
+    results: list = []   # (runtime, params)
+
+    # seed with prior DB facts for this einsum/device
+    for qinfo in sql_utils.query(einsum, device, db_path=db_path,
+                                 err_if_no_results=False):
+        if qinfo.transform_id == transform_id and validate_params_in_space(
+                space, dict(qinfo.transform_params)):
+            params = dict(qinfo.transform_params)
+            seen.add(_freeze(params))
+            results.append((qinfo.runtime_in_sec, params))
+            logger.info("DB seed: %s -> %.3es", params,
+                        qinfo.runtime_in_sec)
+
+    t_start = time.time()
+    n_tested = 0
+
+    def propose() -> dict:
+        if results and rng.random() < 0.5:
+            # mutate one of the top-3 configs
+            best = sorted(results, key=lambda rp: rp[0])[:3]
+            _, base = best[int(rng.integers(0, len(best)))]
+            cfg = _params_to_config(space, base)
+            key, p = flat[int(rng.integers(0, len(flat)))]
+            cfg[key] = p.mutate(cfg[key], rng)
+            return _config_to_params(space, cfg)
+        return {name: p.sample(rng) for name, p in space.items()}
+
+    while True:
+        if stop_after is not None and time.time() - t_start > stop_after:
+            break
+        if test_limit is not None and n_tested >= test_limit:
+            break
+        if stop_after is None and test_limit is None and n_tested >= 100:
+            break
+        params = None
+        for _attempt in range(64):
+            cand = propose()
+            if _freeze(cand) not in seen:
+                params = cand
+                break
+        if params is None:
+            logger.info("search space exhausted (or all known)")
+            break
+        seen.add(_freeze(params))
+        n_tested += 1
+        try:
+            transform = transform_space.bind_args(einsum, **params)
+            runtime = timeit(einsum, transform=transform,
+                             long_dim_length=long_dim_length,
+                             **timeit_kwargs)
+        except InvalidParameterError as err:
+            logger.info("invalid point %s: %s", params, err)
+            results.append((float("inf"), params))
+            continue
+        except TransformValidationError as err:
+            if skip_value_mismatch:
+                logger.warning("validation mismatch %s: %s", params, err)
+                results.append((float("inf"), params))
+                continue
+            raise
+        results.append((runtime, params))
+        sql_utils.record_facts(
+            einsum, transform_id=transform_id, transform_params=params,
+            runtime_in_sec=runtime, device=device, db_path=db_path,
+            long_dim_length=long_dim_length)
+        logger.info("measured %s -> %.3es", params, runtime)
+
+    finite = [r for r in results if np.isfinite(r[0])]
+    if finite:
+        best_rt, best_params = min(finite, key=lambda rp: rp[0])
+        logger.info("autotune done: best %.3es with %s", best_rt, best_params)
+
+
+def _freeze(params: dict):
+    return tuple(sorted(params.items()))
+
+# }}}

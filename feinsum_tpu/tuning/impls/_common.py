@@ -1,0 +1,49 @@
+"""Shared helpers for the TPU schedule-space library."""
+
+from __future__ import annotations
+
+from feinsum_tpu.codegen.program import get_index_lengths
+from feinsum_tpu.contraction_schedule import (
+    get_opt_einsum_contraction_schedule,
+    get_trivial_contraction_schedule,
+)
+from feinsum_tpu.diagnostics import InvalidParameterError
+from feinsum_tpu.einsum import SizeParam
+
+VMEM_BUDGET_BYTES = 100 * 1024 * 1024
+
+
+def long_axis_of(einsum) -> str:
+    params = [ix for ix, ln in einsum.index_to_dim_length.items()
+              if isinstance(ln, SizeParam)]
+    if len(params) != 1:
+        raise InvalidParameterError(
+            f"schedule space expects exactly one parametric axis, found"
+            f" {params}")
+    return params[0]
+
+
+def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000
+               ) -> None:
+    from feinsum_tpu.ops.pallas_emitter import estimate_block_vmem_bytes
+    lengths = get_index_lengths(einsum, long_dim_length)
+    need = estimate_block_vmem_bytes(einsum, block_long, lengths)
+    if need > VMEM_BUDGET_BYTES:
+        raise InvalidParameterError(
+            f"block_long={block_long} needs ~{need >> 20} MiB VMEM"
+            f" (> {VMEM_BUDGET_BYTES >> 20} MiB)")
+
+
+def fused_pallas_program(program, *, block_long: int, hoist: bool,
+                         parallel_grid: bool = True, **desc) -> object:
+    """The core schedule of the DG family: (optionally) multi-step hoisted
+    contraction, fully fused in VMEM, gridded over the long axis."""
+    e = program.einsum
+    guard_vmem(e, block_long)
+    schedule = (get_opt_einsum_contraction_schedule(e) if hoist
+                else get_trivial_contraction_schedule(e))
+    return program.copy(schedule=schedule).with_descriptor(
+        backend="pallas",
+        block_long=block_long,
+        dimension_semantics="parallel" if parallel_grid else "arbitrary",
+        **desc)

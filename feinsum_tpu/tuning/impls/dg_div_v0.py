@@ -1,0 +1,39 @@
+"""
+Schedule space for the DG divergence family ``xre,rij,xej->ei`` /
+``es,sij,ej->ei`` (batched or single-output).
+
+Reference counterpart: ``tuning/impls/xre_rij_xej_to_ei*.py`` /
+``batched_xre_rij_xej_to_ei.py`` (split element axis, hoist the
+Jacobian-contraction into LOCAL memory, prefetch the reference matrix).  On
+TPU the same three decisions are: long-axis block size (grid split), whether
+to run the hoisted multi-step schedule (the Sum_x J*u factorization becomes a
+*schedule* choice), and the grid's dimension semantics.
+"""
+
+from __future__ import annotations
+
+from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
+from feinsum_tpu.tuning.impls._common import fused_pallas_program
+
+
+@transform_param("log2_block", lambda e: IntParameter(8, 14))
+@transform_param("hoist", lambda e: BoolParameter())
+@transform_param("parallel_grid", lambda e: BoolParameter())
+def transform(program, log2_block, hoist, parallel_grid):
+    return fused_pallas_program(
+        program, block_long=2 ** log2_block, hoist=hoist,
+        parallel_grid=parallel_grid)
+
+
+if __name__ == "__main__":
+    import feinsum_tpu as f
+    from feinsum_tpu.tuning import autotune
+
+    ndof = 35
+    einsum = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(j, ("E", 3), "float32"),
+          f.array("R", (3, ndof, ndof), "float32"),
+          f.array(u, ("E", ndof), "float32")]
+         for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+    autotune(einsum, __file__, stop_after=300)

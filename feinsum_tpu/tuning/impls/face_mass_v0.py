@@ -1,0 +1,33 @@
+"""
+Schedule space for the DG face-mass / lift family ``ifj,fe,fej->ei``.
+
+Reference counterpart: ``tuning/impls/ifj_fe_fej_to_ei*.py`` (gather-heavy,
+per-face unroll).  On TPU the tiny face axis ``f`` unrolls inside the kernel
+automatically (it is a small axis in the lowering), so the space is the same
+block/hoist/semantics trio.
+"""
+
+from __future__ import annotations
+
+from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
+from feinsum_tpu.tuning.impls._common import fused_pallas_program
+
+
+@transform_param("log2_block", lambda e: IntParameter(8, 14))
+@transform_param("hoist", lambda e: BoolParameter())
+@transform_param("parallel_grid", lambda e: BoolParameter())
+def transform(program, log2_block, hoist, parallel_grid):
+    return fused_pallas_program(
+        program, block_long=2 ** log2_block, hoist=hoist,
+        parallel_grid=parallel_grid)
+
+
+if __name__ == "__main__":
+    import feinsum_tpu as f
+    from feinsum_tpu.tuning import autotune
+
+    einsum = f.einsum("ifj,fe,fej->ei",
+                      f.array("L", ("E", 4, 15), "float32"),
+                      f.array("F", (4, "E"), "float32"),
+                      f.array("uf", (4, "E", 15), "float32"))
+    autotune(einsum, __file__, stop_after=300)

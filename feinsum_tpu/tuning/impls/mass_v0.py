@@ -1,0 +1,32 @@
+"""
+Schedule space for the mass-matrix family ``e,ij,ej->ei`` and the
+per-element matvec ``ij,ej->ei``.
+
+Reference counterpart: ``tuning/impls/e_ij_ej_to_ei_no_prftch.py`` /
+``ij_ej_to_ei_no_prftch.py``.
+"""
+
+from __future__ import annotations
+
+from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
+from feinsum_tpu.tuning.impls._common import fused_pallas_program
+
+
+@transform_param("log2_block", lambda e: IntParameter(8, 15))
+@transform_param("parallel_grid", lambda e: BoolParameter())
+def transform(program, log2_block, parallel_grid):
+    return fused_pallas_program(
+        program, block_long=2 ** log2_block, hoist=False,
+        parallel_grid=parallel_grid)
+
+
+if __name__ == "__main__":
+    import feinsum_tpu as f
+    from feinsum_tpu.tuning import autotune
+
+    ndof = 35
+    einsum = f.einsum("e,ij,ej->ei",
+                      f.array("jac", ("E",), "float32"),
+                      f.array("M", (ndof, ndof), "float32"),
+                      f.array("u", ("E", ndof), "float32"))
+    autotune(einsum, __file__, stop_after=120)

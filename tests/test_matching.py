@@ -1,0 +1,119 @@
+"""Matcher tests: jaxpr -> BatchedEinsum (reference matcher coverage,
+test_loopy_utils.py:176-228 analog) and the knowledge-transfer flow."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import feinsum_tpu as f
+from feinsum_tpu.matching import (
+    abstract_long_axes,
+    get_a_matched_einsum,
+    match_fn_to_einsum,
+)
+
+
+def test_match_single_dot():
+    def fn(u, D):
+        return jnp.einsum("ej,ij->ei", u, D)
+
+    e, name_map = get_a_matched_einsum(
+        fn, [jnp.ones((600, 35), jnp.float32),
+             jnp.ones((35, 35), jnp.float32)])
+    assert e.b == 1 and e.n == 2
+    assert name_map == {"u": 0, "D": 1}
+    # 600 >= 500 -> parametric
+    assert len(e.all_size_params) == 1
+    ref = f.einsum("ej,ij->ei", f.array("x", ("E", 35), "float32"),
+                   f.array("M", (35, 35), "float32"))
+    assert f.canonicalize_einsum(e) == f.canonicalize_einsum(ref)
+
+
+def test_match_three_operand_grad():
+    def fn(J, D, u):
+        return jnp.einsum("xre,rij,ej->xei", J, D, u)
+
+    e, _ = get_a_matched_einsum(
+        fn, [jnp.ones((3, 3, 700), jnp.float32),
+             jnp.ones((3, 35, 35), jnp.float32),
+             jnp.ones((700, 35), jnp.float32)])
+    ref = f.einsum("xre,rij,ej->xei",
+                   f.array("J", (3, 3, "E"), "float32"),
+                   f.array("D", (3, 35, 35), "float32"),
+                   f.array("u", ("E", 35), "float32"))
+    assert f.canonicalize_einsum(e) == f.canonicalize_einsum(ref)
+
+
+def test_match_elementwise_and_reduction():
+    def prod(a, b):
+        return jnp.einsum("ij,ij->ij", a, b)
+
+    e, _ = get_a_matched_einsum(
+        prod, [jnp.ones((600, 35), jnp.float32)] * 2)
+    assert e.sum_indices == ()
+
+    def rowsum(a):
+        return jnp.einsum("ij->i", a)
+
+    e2, _ = get_a_matched_einsum(rowsum, [jnp.ones((600, 35), jnp.float32)])
+    assert len(e2.sum_indices) == 1
+
+
+def test_match_batched_rows():
+    def fn(Jx, Jy, R, ux, uy):
+        return (jnp.einsum("es,sij,ej->ei", Jx, R, ux),
+                jnp.einsum("es,sij,ej->ei", Jy, R, uy))
+
+    args = [jnp.ones((600, 3), jnp.float32), jnp.ones((600, 3), jnp.float32),
+            jnp.ones((3, 8, 8), jnp.float32), jnp.ones((600, 8), jnp.float32),
+            jnp.ones((600, 8), jnp.float32)]
+    e, _ = get_a_matched_einsum(fn, args)
+    assert e.b == 2
+    assert e.arg_to_shape["R"] == (3, 8, 8)
+
+
+def test_match_rejects_nonlinear():
+    def fn(a, b):
+        return jnp.tanh(a @ b)
+
+    with pytest.raises(f.EinsumMatchError):
+        get_a_matched_einsum(fn, [jnp.ones((600, 8), jnp.float32),
+                                  jnp.ones((8, 8), jnp.float32)])
+
+
+def test_knowledge_transfer_flow():
+    """The core product promise (reference test_loopy_utils.py:145-173): a
+    transform recorded against a reference einsum applies to a user's
+    differently-named computation."""
+    ref = f.einsum("xre,rij,ej->xei",
+                   f.array("Jac", (3, 3, "E"), "float32"),
+                   f.array("Dmat", (3, 35, 35), "float32"),
+                   f.array("dofs", ("E", 35), "float32"))
+
+    def user_fn(a_jac, a_mat, a_u):
+        return jnp.einsum("spn,pdq,nq->snd", a_jac, a_mat, a_u)
+
+    args = [jnp.ones((3, 3, 900), jnp.float32),
+            jnp.ones((3, 35, 35), jnp.float32),
+            jnp.ones((900, 35), jnp.float32)]
+    subst = match_fn_to_einsum(user_fn, args, ref)
+    assert subst["Jac"] == "a_jac"
+    assert subst["Dmat"] == "a_mat"
+    assert subst["dofs"] == "a_u"
+    # indices map onto the matched einsum's letters; the long axis must map
+    # to the matched einsum's parametric axis
+    matched, _ = get_a_matched_einsum(user_fn, args)
+    assert set(subst[ix] for ix in "xrije") == set(matched.all_indices)
+    from feinsum_tpu.einsum import SizeParam
+    assert isinstance(matched.index_to_dim_length[subst["e"]], SizeParam)
+
+
+def test_abstract_long_axes():
+    e = f.einsum("ej,ij->ei",
+                 f.array("u", (100_000, 35), "float32"),
+                 f.array("D", (35, 35), "float32"))
+    a = abstract_long_axes(e)
+    assert len(a.all_size_params) == 1
+    ref = f.einsum("ej,ij->ei", f.array("u", ("E", 35), "float32"),
+                   f.array("D", (35, 35), "float32"))
+    assert f.canonicalize_einsum(a) == f.canonicalize_einsum(ref)

@@ -1,0 +1,159 @@
+"""Autotuner DSL, search driver, sqlite archive, and the replay path —
+modeled on the reference's tuning_impls_tests + sql_utils semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+import feinsum_tpu as f
+from feinsum_tpu import sql_utils
+from feinsum_tpu.tuning import (
+    BoolParameter,
+    IntParameter,
+    TupleParameter,
+    autotune,
+    einsum_arg,
+    get_transform_func_from_module_path,
+    transform_param,
+)
+
+
+def small_div(ndof=8):
+    return f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array("Jx", ("E", 3), "float32"),
+          f.array("R", (3, ndof, ndof), "float32"),
+          f.array("ux", ("E", ndof), "float32")]])
+
+
+def test_parameter_dsl():
+    rng = np.random.default_rng(0)
+    p = IntParameter(2, 5)
+    for _ in range(20):
+        assert 2 <= p.sample(rng) <= 5
+        assert 2 <= p.mutate(3, rng) <= 5
+    assert p.contains(4) and not p.contains(7)
+    b = BoolParameter()
+    assert b.contains(True) and not b.contains(3)
+    t = TupleParameter((IntParameter(0, 3), BoolParameter()))
+    v = t.sample(rng)
+    assert t.contains(v)
+    assert t.contains(t.mutate(v, rng))
+
+
+def test_decorators_build_parametrized_transform():
+    @transform_param("block", lambda e: IntParameter(3, 6))
+    @einsum_arg("ndof", lambda e: int(e.index_to_dim_length["i"]))
+    def transform(program, ndof, block):
+        assert ndof == 8
+        return program.with_descriptor(block_long=2 ** block)
+
+    e = small_div()
+    space = transform.get_param_space(e)
+    assert set(space) == {"block"}
+    tr = transform.bind_args(e, block=4)
+    p = tr(f.generate_program(e))
+    assert p.descriptor.block_long == 16
+
+
+def test_impl_modules_load():
+    for name in ("dg_div_v0", "dg_grad_v0", "face_mass_v0",
+                 "elementwise_v0", "mass_v0", "tc_xla_v0",
+                 "demo_transform_space"):
+        pt = get_transform_func_from_module_path(name)
+        assert pt.transform_params
+
+
+def test_impl_transform_validates():
+    e = small_div()
+    pt = get_transform_func_from_module_path("dg_div_v0")
+    tr = pt.bind_args(e, log2_block=8, hoist=True, parallel_grid=True)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
+
+
+def test_record_and_query_roundtrip(tmp_path):
+    db = str(tmp_path / "test.sqlite")
+    e = small_div()
+    sql_utils.record_facts(
+        e, transform_id="dg_div_v0.py",
+        transform_params={"log2_block": 9, "hoist": True,
+                          "parallel_grid": False},
+        runtime_in_sec=1.25e-4, device="TPU v5 lite", db_path=db,
+        long_dim_length=1000)
+    qs = sql_utils.query(e, "TPU v5 lite", db_path=db)
+    assert len(qs) == 1
+    q = qs[0]
+    assert q.transform_id == "dg_div_v0.py"
+    assert dict(q.transform_params)["log2_block"] == 9
+    assert q.total_giga_op_rate > 0
+    # renamed-but-isomorphic einsum must hit the same fact
+    e2 = f.batched_einsum(
+        "td,dkl,tl->tk",
+        [[f.array("jac", ("NE", 3), "float32"),
+          f.array("ref", (3, 8, 8), "float32"),
+          f.array("dofs", ("NE", 8), "float32")]])
+    qs2 = sql_utils.query(e2, "TPU v5 lite", db_path=db)
+    assert len(qs2) == 1
+    # and the lazy transform must bind+apply
+    tr = qs2[0].transform
+    prog = tr(f.generate_program(f.canonicalize_einsum(e2)))
+    assert prog.descriptor.backend == "pallas"
+    assert prog.descriptor.block_long == 512
+
+    with pytest.raises(f.NoFactInDatabaseError):
+        sql_utils.query(e, "TPU v4", db_path=db)
+
+
+def test_retrieve_picks_best(tmp_path):
+    db = str(tmp_path / "test.sqlite")
+    e = small_div()
+    for rt, blk in [(2e-4, 9), (1e-4, 10), (5e-4, 8)]:
+        sql_utils.record_facts(
+            e, transform_id="dg_div_v0.py",
+            transform_params={"log2_block": blk, "hoist": False,
+                              "parallel_grid": False},
+            runtime_in_sec=rt, device="TPU v5 lite", db_path=db,
+            long_dim_length=1000)
+    tr = sql_utils.retrieve(e, "TPU v5 lite", db_path=db)
+    prog = tr(f.generate_program(f.canonicalize_einsum(e)))
+    assert prog.descriptor.block_long == 1024
+
+
+def test_get_timed_einsums_in_db(tmp_path):
+    db = str(tmp_path / "test.sqlite")
+    e = small_div()
+    sql_utils.record_facts(
+        e, transform_id="dg_div_v0.py",
+        transform_params={"log2_block": 9, "hoist": True,
+                          "parallel_grid": False},
+        runtime_in_sec=1e-4, device="TPU v5 lite", db_path=db,
+        long_dim_length=1000)
+    es = sql_utils.get_timed_einsums_in_db(db_path=db)
+    assert len(es) == 1
+    assert f.canonicalize_einsum(es[0]) == es[0]
+    assert es[0] == f.canonicalize_einsum(e)
+
+
+def test_autotune_smoke(tmp_path):
+    db = str(tmp_path / "tune.sqlite")
+    e = small_div()
+    autotune(e, "dg_div_v0", db_path=db, long_dim_length=400,
+             test_limit=3, device="TPU v5 lite",
+             timeit_kwargs={"min_rounds": 5, "min_seconds": 0.02,
+                            "validation_long_dim_length": 50,
+                            "method": "host"})
+    qs = sql_utils.query(f.canonicalize_einsum(e), "TPU v5 lite",
+                         db_path=db)
+    assert 1 <= len(qs) <= 3
+    # resume: seeds + dedups from db, adds more points
+    autotune(e, "dg_div_v0", db_path=db, long_dim_length=400,
+             test_limit=2, device="TPU v5 lite",
+             timeit_kwargs={"min_rounds": 5, "min_seconds": 0.02,
+                            "validation_long_dim_length": 50,
+                            "method": "host"})
+    qs2 = sql_utils.query(f.canonicalize_einsum(e), "TPU v5 lite",
+                          db_path=db)
+    assert len(qs2) >= len(qs)
+    params_seen = {q.transform_params for q in qs2}
+    assert len(params_seen) == len(qs2), "duplicate configs re-measured"
