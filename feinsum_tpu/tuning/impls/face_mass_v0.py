@@ -27,7 +27,7 @@ if __name__ == "__main__":
     from feinsum_tpu.tuning import autotune
 
     einsum = f.einsum("ifj,fe,fej->ei",
-                      f.array("L", ("E", 4, 15), "float32"),
+                      f.array("L", (35, 4, 15), "float32"),
                       f.array("F", (4, "E"), "float32"),
                       f.array("uf", (4, "E", 15), "float32"))
     autotune(einsum, __file__, stop_after=300)

@@ -1,0 +1,104 @@
+"""Multi-chip sharding (8 virtual CPU devices) and the wave model."""
+
+import numpy as np
+import pytest
+
+import feinsum_tpu as f
+from feinsum_tpu.measure import _numpy_oracle, generate_input_arrays
+from feinsum_tpu.parallel import (
+    make_mesh,
+    reduction_sharded_executable,
+    sharded_einsum_executable,
+)
+
+
+def dg_grad(ndof=8):
+    return f.einsum("xre,rij,ej->xei",
+                    f.array("J", (3, 3, "E"), "float32"),
+                    f.array("D", (3, ndof, ndof), "float32"),
+                    f.array("u", ("E", ndof), "float32"))
+
+
+def test_data_parallel_sharding_matches_oracle():
+    import jax
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh({"data": 8})
+    e = dg_grad()
+    prog = f.generate_program_with_opt_einsum_schedule(e).with_descriptor(
+        backend="pallas", block_long=16)
+    fn = sharded_einsum_executable(prog, mesh, long_dim_length=128)
+    arrays = generate_input_arrays(e, long_dim_length=128)
+    (out,) = fn(arrays)
+    expected = _numpy_oracle(e, {k: np.asarray(v) for k, v in
+                                 arrays.items()})[0]
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                               atol=2e-5 * abs(expected).max())
+
+
+def test_reduction_sharding_psum_matches_oracle():
+    mesh = make_mesh({"data": 4, "model": 2})
+    e = dg_grad(ndof=8)
+    prog = f.generate_program(e)
+    fn = reduction_sharded_executable(
+        prog, mesh, reduction_index="j", long_dim_length=64)
+    arrays = generate_input_arrays(e, long_dim_length=64)
+    (out,) = fn(arrays)
+    expected = _numpy_oracle(e, {k: np.asarray(v) for k, v in
+                                 arrays.items()})[0]
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-5,
+                               atol=2e-5 * abs(expected).max())
+
+
+def test_sharding_rejects_indivisible():
+    mesh = make_mesh({"data": 8})
+    e = dg_grad()
+    prog = f.generate_program(e)
+    with pytest.raises(ValueError):
+        sharded_einsum_executable(prog, mesh, long_dim_length=100)
+
+
+def test_wave_model_step():
+    import jax
+    from feinsum_tpu.models import WaveOperator3D, make_wave_state
+
+    op = WaveOperator3D(ndof=10, nfacedof=6, dtype="float32",
+                        use_pallas=True, block_long=64)
+    step = jax.jit(op.make_step(256, dt=1e-3))
+    state, geom = make_wave_state(256, ndof=10, nfacedof=6)
+    out = step(state, geom)
+    assert out["u"].shape == (256, 10)
+    assert out["v"].shape == (3, 256, 10)
+    assert bool(np.isfinite(np.asarray(out["u"])).all())
+    # energy-ish sanity: the update actually changed the state
+    assert not np.allclose(np.asarray(out["u"]), np.asarray(state["u"]))
+
+
+def test_wave_model_uses_db_schedule(tmp_path):
+    from feinsum_tpu import sql_utils
+    from feinsum_tpu.models import WaveOperator3D
+
+    db = str(tmp_path / "db.sqlite")
+    op_probe = WaveOperator3D(ndof=10, nfacedof=6, use_pallas=False)
+    sql_utils.record_facts(
+        op_probe.grad_einsum, transform_id="dg_grad_v0.py",
+        transform_params={"log2_block": 9, "hoist": True,
+                          "parallel_grid": True},
+        runtime_in_sec=1e-4, device=None, db_path=db, long_dim_length=1000)
+    op = WaveOperator3D(ndof=10, nfacedof=6, db_path=db)
+    assert op._programs["grad"].descriptor.block_long == 512
+    # einsums without facts fall back to defaults
+    assert op._programs["div"].descriptor.backend == "pallas"
+
+
+def test_graft_entry():
+    import jax
+
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert set(out) == {"u", "v"}
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
