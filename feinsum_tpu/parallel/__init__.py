@@ -98,7 +98,7 @@ def sharded_einsum_executable(program: EinsumProgram, mesh, *,
         mesh=mesh,
         in_specs=(in_specs,),
         out_specs=out_specs,
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 
@@ -152,7 +152,7 @@ def reduction_sharded_executable(program: EinsumProgram, mesh, *,
         shard_fn, mesh=mesh,
         in_specs=(in_specs,),
         out_specs=out_specs,
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 
