@@ -54,6 +54,8 @@ class ScheduleDescriptor:
     accum_dtype: Optional[str] = None
     compute_dtype: Optional[str] = None
     arg_layouts: tuple = ()
+    out_layout: Optional[tuple] = None   # axis perm applied to every output
+    flatten: bool = False                # 1D-stream pure-elementwise programs
     precision: str = "default"
     dimension_semantics: str = "arbitrary"
     vmem_limit_bytes: Optional[int] = None

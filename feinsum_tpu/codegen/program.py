@@ -138,7 +138,11 @@ def _xla_row_fn(program: EinsumProgram, row: int, arrays_by_name: dict):
             kwargs["preferred_element_type"] = accum
         env[name] = jnp.einsum(subs, *ins, **kwargs)
         result = env[name]
-    return result.astype(output_dtype(e, row))
+    result = result.astype(output_dtype(e, row))
+    if desc.out_layout is not None:
+        result = jnp.transpose(result, tuple(int(p) for p in
+                                             desc.out_layout))
+    return result
 
 
 def _logical_arrays(program: EinsumProgram, arrays_by_name: dict) -> dict:

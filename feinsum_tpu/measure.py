@@ -233,8 +233,12 @@ def validate_batched_einsum_transform(
     if len(results) != einsum.b:
         raise TransformValidationError(
             f"expected {einsum.b} outputs, got {len(results)}")
+    out_layout = program.descriptor.out_layout
     for r, (got, ref) in enumerate(zip(results, expected)):
         got = np.asarray(got)
+        if out_layout is not None:
+            # outputs are delivered in the descriptor's stored layout
+            ref = np.transpose(ref, tuple(int(p) for p in out_layout))
         dt = output_dtype(einsum, r)
         tol = rtol if rtol is not None else DTYPE_TO_RTOL.get(
             np.dtype(dt), 1e-2)

@@ -120,7 +120,7 @@ def _product(pieces, target_axes):
 
 
 def lower_step(factor_reps, out_letters, e_letter, lengths, *,
-               accum_dtype=None) -> Rep:
+               accum_dtype=None, big_order_pref=None) -> Rep:
     """Compute one schedule step from factor Reps; returns the result Rep."""
     import jax
     import jax.numpy as jnp
@@ -177,6 +177,10 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
 
     result_big = tuple(l for l in (e_letter if e_in_out else None, n_ax)
                        if l is not None)
+    if (big_order_pref is not None and len(result_big) == 2
+            and set(big_order_pref) >= set(result_big)):
+        result_big = tuple(sorted(result_big,
+                                  key=list(big_order_pref).index))
     result = {}
     for out_key in itertools.product(*[range(lengths[l]) for l in out_small]):
         out_combo = dict(zip(out_small, out_key))
@@ -229,23 +233,37 @@ def _contract_pieces(pieces, e, e_contracted, k, n, result_big, accum_dtype,
         konly = [(a, x) for a, x in kgroup if a == (k,)]
         assert len(aside) + len(bside) + len(konly) == len(kgroup), (
             "unclassifiable k-group piece (axes beyond {e,k,n}?)")
+        # build each side in the storage order of its first 2D piece so
+        # Mosaic never has to transpose blocks; dot_general contracts along
+        # whichever positions k landed in
+        a_axes = next((a for a, _ in aside if len(a) == 2), (e, k))
+        b_axes = next((a for a, _ in bside if len(a) == 2),
+                      (k, n) if n else (k,))
         if aside and (bside or konly):
-            A = _product(aside, (e, k))                            # (e, k)
-            B = _product(bside + konly, (k, n) if n else (k,))
+            A = _product(aside, a_axes)
+            B = _product(bside + konly, b_axes)
             if n is not None:
-                core = jax.lax.dot_general(
-                    A, B, (((1,), (0,)), ((), ())), **dot_kwargs)  # (e, n)
-                core_axes = (e, n)
+                cka, ckb = a_axes.index(k), b_axes.index(k)
+                if result_big == (n, e):
+                    core = jax.lax.dot_general(
+                        B, A, (((ckb,), (cka,)), ((), ())), **dot_kwargs)
+                    core_axes = (n, e)
+                else:
+                    core = jax.lax.dot_general(
+                        A, B, (((cka,), (ckb,)), ((), ())), **dot_kwargs)
+                    core_axes = (e, n)
             else:
-                core = jnp.sum(A * B[None, :], axis=1)             # (e,)
-                core_axes = (e,)
+                Bb = _bcast_to(b_axes, B, a_axes)
+                core = jnp.sum(A * Bb, axis=a_axes.index(k))
+                core_axes = tuple(l for l in a_axes if l != k)
         elif aside:
-            core = jnp.sum(_product(aside + konly, (e, k)), axis=1)
-            core_axes = (e,)
+            core = jnp.sum(_product(aside + konly, a_axes),
+                           axis=a_axes.index(k))
+            core_axes = tuple(l for l in a_axes if l != k)
         else:
-            prod = _product(bside + konly, (k, n) if n else (k,))
-            core = jnp.sum(prod, axis=0)
-            core_axes = (n,) if n else ()
+            prod = _product(bside + konly, b_axes)
+            core = jnp.sum(prod, axis=b_axes.index(k))
+            core_axes = tuple(l for l in b_axes if l != k)
     else:
         core = None
         core_axes = ()

@@ -103,6 +103,82 @@ def estimate_block_vmem_bytes(einsum, block_long: int,
     return total
 
 
+def _try_build_flat_elementwise(program, lengths):
+    """Pure-elementwise programs (copies, Hadamard products) stream fastest
+    as dense flat 1D blocks: (blk, 35)-style blocks DMA 140-byte row
+    fragments at ~23% of HBM peak, while the same bytes viewed flat stream at
+    ~84% (measured on v5e, scripts/tpu_layout_probe.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..codegen.program import output_dtype
+
+    e = program.einsum
+    desc = program.descriptor
+    if program.schedule.nsteps != 1 or e.sum_indices:
+        return None
+    out_set = tuple(e.out_idx_set)
+    if any(tuple(s) != out_set for s in e.in_idx_sets):
+        return None
+    if desc.arg_layouts or desc.out_layout:
+        return None
+
+    n_total = 1
+    for ix in out_set:
+        n_total *= lengths[ix]
+    inner = n_total // lengths[out_set[0]] if out_set else 1
+    blk = max(1024, (desc.block_long * max(inner, 1) // 1024) * 1024)
+    blk = min(blk, n_total)
+    grid = (pl.cdiv(n_total, blk),)
+
+    arg_names = sorted(e.all_args)
+    out_dtypes = [output_dtype(e, r) for r in range(e.b)]
+    n_rows = e.b
+
+    def kernel(*refs):
+        in_refs = dict(zip(arg_names, refs[:len(arg_names)]))
+        out_refs = refs[len(arg_names):]
+        for row in range(n_rows):
+            acc = None
+            for arg in e.args[row]:
+                v = in_refs[arg.name][...]
+                acc = v if acc is None else acc * v
+            out_refs[row][...] = acc.astype(out_dtypes[row])
+
+    interpret = desc.interpret
+    if interpret is None:
+        interpret = not _on_tpu()
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=(desc.dimension_semantics,),
+            vmem_limit_bytes=int(desc.vmem_limit_bytes or 100 * 1024 * 1024))
+
+    spec = pl.BlockSpec((blk,), lambda g: (g,))
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[spec] * len(arg_names),
+        out_specs=tuple(spec for _ in range(n_rows)) if n_rows > 1 else spec,
+        out_shape=(tuple(jax.ShapeDtypeStruct((n_total,), dt)
+                         for dt in out_dtypes) if n_rows > 1
+                   else jax.ShapeDtypeStruct((n_total,), out_dtypes[0])),
+        interpret=interpret, **kw)
+
+    out_shape = tuple(lengths[ix] for ix in out_set)
+
+    def fn(arrays_by_name: dict):
+        flats = [jnp.reshape(arrays_by_name[name], (n_total,))
+                 for name in arg_names]
+        outs = call(*flats)
+        if n_rows == 1:
+            outs = (outs,)
+        return tuple(jnp.reshape(o, out_shape) for o in outs)
+
+    return jax.jit(fn)
+
+
 def build_pallas_executable(program, index_to_length: dict):
     """Compile *program* with the Pallas backend; returns
     ``fn(arrays_by_name) -> tuple`` like the XLA backend."""
@@ -117,6 +193,14 @@ def build_pallas_executable(program, index_to_length: dict):
     e = program.einsum
     desc = program.descriptor
     lengths = dict(index_to_length)
+
+    if desc.flatten:
+        flat = _try_build_flat_elementwise(program, lengths)
+        if flat is not None:
+            return flat
+        raise InvalidParameterError(
+            "flatten=True requires a single-step, contraction-free program"
+            " whose operands all share the output subscript")
 
     grid_ix = _pick_grid_index(program, lengths)
     arg_idx = _arg_index_sets(e)
@@ -162,7 +246,13 @@ def build_pallas_executable(program, index_to_length: dict):
         for name in arg_names]
 
     out_dtypes = [output_dtype(e, r) for r in range(e.b)]
-    out_idx = tuple(e.out_idx_set)
+    # outputs may be stored in a permuted layout (e.g. dof-major (35, E) so
+    # the long axis rides the dense lane dimension — the TTGT-analog layout
+    # choice); callers receive the stored layout
+    if desc.out_layout is not None:
+        out_idx = tuple(e.out_idx_set[p] for p in desc.out_layout)
+    else:
+        out_idx = tuple(e.out_idx_set)
     out_block = block_shape_of(out_idx)
     out_shapes = [
         jax.ShapeDtypeStruct(tuple(lengths[ix] for ix in out_idx), dt)
@@ -219,7 +309,7 @@ def build_pallas_executable(program, index_to_length: dict):
                     factors.append(env[a.name])
             env[name] = lower_step(
                 factors, tuple(out_sub), grid_ix, lengths_kernel,
-                accum_dtype=accum)
+                accum_dtype=accum, big_order_pref=out_idx)
             result = env[name]
         return result
 
