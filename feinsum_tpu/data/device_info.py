@@ -20,10 +20,13 @@ DEV_TO_PEAK_GFLOPS = {
         "float32": 34_400.0,
         "float64": 4_300.0,
     },
-    "TPU_v5_lite": {  # v5e; bf16 peak from spec, f32 ~bf16/6 (3-pass + issue)
+    "TPU_v5_lite": {  # v5e; bf16 from spec. float32 = precision=highest
+        # (bf16_6x) matmul rate measured on-chip: 31.3 TF; default-precision
+        # f32 matmuls run as bf16 passes at ~156 TF (measured) but do not
+        # meet f32 accuracy, so the honest f32 peak is the 6-pass figure.
         "bfloat16": 197_000.0,
-        "float32": 24_600.0,
-        "float64": 3_100.0,
+        "float32": 31_300.0,
+        "float64": 3_900.0,
     },
     "TPU_v5": {  # v5p
         "bfloat16": 459_000.0,

@@ -35,13 +35,21 @@ def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000
 
 
 def fused_pallas_program(program, *, block_long: int, hoist: bool,
-                         parallel_grid: bool = True, **desc) -> object:
+                         parallel_grid: bool = True, dofmajor: bool = False,
+                         **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
-    contraction, fully fused in VMEM, gridded over the long axis."""
+    contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
+    rotates long axes onto the dense lane dimension (~3x HBM throughput for
+    short-dof operands, see ops/layouts.py)."""
     e = program.einsum
     guard_vmem(e, block_long)
     schedule = (get_opt_einsum_contraction_schedule(e) if hoist
                 else get_trivial_contraction_schedule(e))
+    if dofmajor and "arg_layouts" not in desc:
+        from feinsum_tpu.ops.layouts import dofmajor_layouts
+        layouts, out_perm = dofmajor_layouts(e)
+        desc["arg_layouts"] = layouts
+        desc["out_layout"] = out_perm
     return program.copy(schedule=schedule).with_descriptor(
         backend="pallas",
         block_long=block_long,

@@ -13,11 +13,12 @@ from feinsum_tpu.tuning.impls._common import fused_pallas_program
 
 
 @transform_param("log2_block", lambda e: IntParameter(8, 16))
+@transform_param("flatten", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
-def transform(program, log2_block, parallel_grid):
+def transform(program, log2_block, flatten, parallel_grid):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=False,
-        parallel_grid=parallel_grid)
+        parallel_grid=parallel_grid, flatten=flatten)
 
 
 if __name__ == "__main__":

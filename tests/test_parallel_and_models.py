@@ -82,7 +82,7 @@ def test_wave_model_uses_db_schedule(tmp_path):
     sql_utils.record_facts(
         op_probe.grad_einsum, transform_id="dg_grad_v0.py",
         transform_params={"log2_block": 9, "hoist": True,
-                          "parallel_grid": True},
+                          "parallel_grid": True, "dofmajor": False},
         runtime_in_sec=1e-4, device=None, db_path=db, long_dim_length=1000)
     op = WaveOperator3D(ndof=10, nfacedof=6, db_path=db)
     assert op._programs["grad"].descriptor.block_long == 512

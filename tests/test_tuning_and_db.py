@@ -68,7 +68,8 @@ def test_impl_modules_load():
 def test_impl_transform_validates():
     e = small_div()
     pt = get_transform_func_from_module_path("dg_div_v0")
-    tr = pt.bind_args(e, log2_block=8, hoist=True, parallel_grid=True)
+    tr = pt.bind_args(e, log2_block=8, hoist=True, parallel_grid=True,
+                      dofmajor=False)
     f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
 
 
@@ -78,7 +79,7 @@ def test_record_and_query_roundtrip(tmp_path):
     sql_utils.record_facts(
         e, transform_id="dg_div_v0.py",
         transform_params={"log2_block": 9, "hoist": True,
-                          "parallel_grid": False},
+                          "parallel_grid": False, "dofmajor": False},
         runtime_in_sec=1.25e-4, device="TPU v5 lite", db_path=db,
         long_dim_length=1000)
     qs = sql_utils.query(e, "TPU v5 lite", db_path=db)
@@ -112,7 +113,7 @@ def test_retrieve_picks_best(tmp_path):
         sql_utils.record_facts(
             e, transform_id="dg_div_v0.py",
             transform_params={"log2_block": blk, "hoist": False,
-                              "parallel_grid": False},
+                              "parallel_grid": False, "dofmajor": False},
             runtime_in_sec=rt, device="TPU v5 lite", db_path=db,
             long_dim_length=1000)
     tr = sql_utils.retrieve(e, "TPU v5 lite", db_path=db)
@@ -126,7 +127,7 @@ def test_get_timed_einsums_in_db(tmp_path):
     sql_utils.record_facts(
         e, transform_id="dg_div_v0.py",
         transform_params={"log2_block": 9, "hoist": True,
-                          "parallel_grid": False},
+                          "parallel_grid": False, "dofmajor": False},
         runtime_in_sec=1e-4, device="TPU v5 lite", db_path=db,
         long_dim_length=1000)
     es = sql_utils.get_timed_einsums_in_db(db_path=db)
