@@ -140,10 +140,13 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
     def is_big_somewhere(l):
         return any(l in r.big for r in factor_reps)
 
-    # lane axis of the output
+    # lane axis of the output: the *largest* eligible axis (picking a tiny
+    # trailing axis would unroll a big one — e.g. 'ej,es->ejs' must keep j=35
+    # vectorized and unroll s=3, not the reverse)
     n_candidates = [l for l in out_letters
                     if l != e_letter and is_big_somewhere(l)]
-    n_ax = n_candidates[-1] if n_candidates else None
+    n_ax = (max(n_candidates, key=lambda l: lengths[l])
+            if n_candidates else None)
 
     # contraction axis fed to the MXU: must be a big (array) axis in every
     # factor that carries it — if it's an unrolled axis anywhere, the whole
@@ -175,12 +178,23 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
     out_small = tuple(l for l in out_letters if l in unroll)
     sum_small = [l for l in contracted if l in unroll]
 
-    result_big = tuple(l for l in (e_letter if e_in_out else None, n_ax)
-                       if l is not None)
-    if (big_order_pref is not None and len(result_big) == 2
-            and set(big_order_pref) >= set(result_big)):
-        result_big = tuple(sorted(result_big,
+    result_letters = {l for l in (e_letter if e_in_out else None, n_ax)
+                      if l is not None}
+    # orientation: honor the caller's preferred order (the output's stored
+    # layout) when it covers the result; otherwise inherit the orientation of
+    # the factors so no VMEM transposes are introduced
+    if (big_order_pref is not None and len(result_letters) == 2
+            and set(big_order_pref) >= result_letters):
+        result_big = tuple(sorted(result_letters,
                                   key=list(big_order_pref).index))
+    elif len(result_letters) == 2:
+        src = next((tuple(r.big) for r in reps
+                    if set(r.big) == result_letters), None)
+        result_big = src if src is not None else tuple(
+            l for l in (e_letter if e_in_out else None, n_ax)
+            if l is not None)
+    else:
+        result_big = tuple(result_letters)
     result = {}
     for out_key in itertools.product(*[range(lengths[l]) for l in out_small]):
         out_combo = dict(zip(out_small, out_key))
@@ -268,8 +282,15 @@ def _contract_pieces(pieces, e, e_contracted, k, n, result_big, accum_dtype,
         core = None
         core_axes = ()
 
-    # fold in the k-free pieces
-    target = tuple(l for l in (e, n) if l is not None)
+    # fold in the k-free pieces, in the result's own orientation (or, when e
+    # is contracted, in the orientation of the post pieces — the reduction
+    # over e happens below)
+    if e_contracted:
+        src = next((a for a, _ in post if len(a) == 2), None)
+        target = src if src is not None else tuple(
+            l for l in (e, n) if l is not None)
+    else:
+        target = tuple(l for l in result_big if l in (e, n))
     if post or core is None:
         p = _product(post, target) if post else None
         if core is None:
