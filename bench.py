@@ -90,10 +90,6 @@ def suite():
 def default_transform(kind):
     def tr(program):
         e = program.einsum
-        if kind == "flat":
-            return program.with_descriptor(
-                backend="pallas", block_long=8192, flatten=True,
-                dimension_semantics="parallel")
         layouts, out_perm = dofmajor_layouts(e)
         p = f.generate_program_with_opt_einsum_schedule(e)
         return p.with_descriptor(
@@ -124,8 +120,7 @@ def main() -> None:
         except (NoFactInDatabaseError, Exception):
             transform = None
         if transform is None:
-            transform = default_transform(
-                "flat" if name.startswith("copy") else "dofmajor")
+            transform = default_transform("dofmajor")
         try:
             f.validate_batched_einsum_transform(
                 einsum, transform, long_dim_length=2000)

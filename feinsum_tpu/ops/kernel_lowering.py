@@ -120,7 +120,8 @@ def _product(pieces, target_axes):
 
 
 def lower_step(factor_reps, out_letters, e_letter, lengths, *,
-               accum_dtype=None, big_order_pref=None) -> Rep:
+               accum_dtype=None, big_order_pref=None,
+               dot_precision=None) -> Rep:
     """Compute one schedule step from factor Reps; returns the result Rep."""
     import jax
     import jax.numpy as jnp
@@ -205,7 +206,8 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
             pieces = [(r.big, r.get(combo)) for r in reps]
             val = _contract_pieces(
                 pieces, e_letter if e_present else None, e_contracted,
-                k_ax, n_ax, result_big, accum_dtype, jax, jnp)
+                k_ax, n_ax, result_big, accum_dtype, dot_precision,
+                jax, jnp)
             acc = val if acc is None else acc + val
         # materialize to the full block shape so downstream consumers and
         # ref-stores see exact shapes
@@ -230,12 +232,14 @@ def _demote(rep: Rep, letter, lengths) -> Rep:
 
 
 def _contract_pieces(pieces, e, e_contracted, k, n, result_big, accum_dtype,
-                     jax, jnp):
+                     dot_precision, jax, jnp):
     """Contract factor pieces (each dims subset of {e,k,n}) over k (MXU when
     possible) and over e when e is contracted (VPU sum)."""
     dot_kwargs = {}
     if accum_dtype is not None:
         dot_kwargs["preferred_element_type"] = accum_dtype
+    if dot_precision is not None:
+        dot_kwargs["precision"] = dot_precision
 
     post = [(axes, arr) for axes, arr in pieces if k is None or k not in axes]
     kgroup = [(axes, arr) for axes, arr in pieces

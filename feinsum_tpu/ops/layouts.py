@@ -33,6 +33,19 @@ def dofmajor_layouts(einsum: BatchedEinsum):
         if (set(idx_set) & long_letters) and idx_set \
                 and idx_set[-1] not in long_letters:
             layouts.append((name, rotate(idx_set)))
+        elif not (set(idx_set) & long_letters) and len(idx_set) > 2:
+            # resident (non-streamed) operands: keep the two largest axes
+            # trailing so they stay vectorized in VMEM and tiny axes unroll
+            # (e.g. the face-lift matrix (i,f,j) -> (f,i,j))
+            sizes = {ix: int(einsum.index_to_dim_length[ix])
+                     for ix in idx_set}
+            biggest = sorted(range(len(idx_set)),
+                             key=lambda p: sizes[idx_set[p]])[-2:]
+            big_sorted = sorted(biggest)      # keep relative order
+            perm = tuple([p for p in range(len(idx_set))
+                          if p not in biggest] + big_sorted)
+            if perm != tuple(range(len(idx_set))):
+                layouts.append((name, perm))
     out = tuple(einsum.out_idx_set)
     out_perm = None
     if out and out[-1] not in long_letters and (set(out) & long_letters):

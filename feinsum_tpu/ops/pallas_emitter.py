@@ -266,6 +266,21 @@ def build_pallas_executable(program, index_to_length: dict):
     compute_dtype = (jnp.dtype(desc.compute_dtype)
                      if desc.compute_dtype else None)
 
+    # MXU precision for in-kernel dots: f32/f64 default to HIGHEST (bf16_6x
+    # passes) so results meet the numpy-oracle tolerance; bf16/low-precision
+    # compute dtypes keep the fast single-pass path.  descriptor.precision
+    # overrides ("fastest" = single-pass bf16 multiplies on f32 data).
+    prec_name = (desc.precision or "default").lower()
+    eff_dtype = compute_dtype or max(
+        (dt for dt in e.arg_to_dtype.values()), key=lambda d: d.itemsize)
+    if prec_name == "default":
+        dot_precision = (jax.lax.Precision.HIGHEST
+                         if np.dtype(eff_dtype).itemsize >= 4 else None)
+    elif prec_name == "fastest":
+        dot_precision = None
+    else:
+        dot_precision = getattr(jax.lax.Precision, prec_name.upper())
+
     from .kernel_lowering import Rep, lower_step, rep_from_block
 
     # in-kernel axis lengths: the grid axis shrinks to one block
@@ -309,7 +324,8 @@ def build_pallas_executable(program, index_to_length: dict):
                     factors.append(env[a.name])
             env[name] = lower_step(
                 factors, tuple(out_sub), grid_ix, lengths_kernel,
-                accum_dtype=accum, big_order_pref=out_idx)
+                accum_dtype=accum, big_order_pref=out_idx,
+                dot_precision=dot_precision)
             result = env[name]
         return result
 
