@@ -9,10 +9,15 @@ validate→time→record autotuning loop persisted to sqlite, and roofline-relat
 reporting against TPU MXU-peak / HBM-bandwidth tables.
 """
 
+from .algebraic import (
+    extract_multiplicative_terms_in_sum_reduction_as_subst,
+    hoist_invariant_multiplicative_terms_in_sum_reduction,
+)
 from .canonicalization import (
     canonicalize_einsum,
     get_substitution_mapping_between_isomorphic_batched_einsums,
 )
+from .cl_utils import FakeCLDevice, FakeDevice
 from .codegen import (
     EinsumProgram,
     ScheduleDescriptor,
@@ -44,6 +49,12 @@ from .einsum import (
     SummationAxis,
 )
 from .make_einsum import array, batched_einsum, einsum
+from .matching import (
+    abstract_long_axes,
+    get_a_matched_einsum,
+    identify_as_einsum,
+    match_fn_to_einsum,
+)
 from .measure import (
     get_giga_op_map,
     get_footprint_gbytes,
@@ -53,11 +64,14 @@ from .measure import (
     timeit,
     validate_batched_einsum_transform,
 )
+from .sql_utils import DEFAULT_DB, query, record_facts, retrieve
+from .tuning import autotune
 from .utils import IndexNameGenerator, get_tccg_benchmark
 
 __version__ = "0.1.0"
 
 __all__ = (
+    "DEFAULT_DB",
     "Array",
     "BatchedEinsum",
     "ContractionSchedule",
@@ -66,6 +80,8 @@ __all__ = (
     "EinsumOperand",
     "EinsumProgram",
     "EinsumTunitMatchError",
+    "FakeCLDevice",
+    "FakeDevice",
     "FreeAxis",
     "IndexNameGenerator",
     "IntermediateResult",
@@ -76,13 +92,17 @@ __all__ = (
     "SizeParam",
     "SummationAxis",
     "TransformValidationError",
+    "abstract_long_axes",
     "array",
+    "autotune",
     "batched_einsum",
     "build_executable",
     "canonicalize_einsum",
     "einsum",
+    "extract_multiplicative_terms_in_sum_reduction_as_subst",
     "generate_program",
     "generate_program_with_opt_einsum_schedule",
+    "get_a_matched_einsum",
     "get_footprint_gbytes",
     "get_giga_op_map",
     "get_opt_einsum_contraction_schedule",
@@ -90,7 +110,13 @@ __all__ = (
     "get_substitution_mapping_between_isomorphic_batched_einsums",
     "get_tccg_benchmark",
     "get_trivial_contraction_schedule",
+    "hoist_invariant_multiplicative_terms_in_sum_reduction",
+    "identify_as_einsum",
+    "match_fn_to_einsum",
     "measure_giga_op_rate",
+    "query",
+    "record_facts",
+    "retrieve",
     "stringify_comparison_vs_roofline",
     "timeit",
     "validate_batched_einsum_transform",

@@ -1,0 +1,91 @@
+"""
+Algebraic schedule rewrites — the TPU analog of the reference's loopy-level
+expression transforms (``feinsum/loopy_utils/__init__.py:588-943`` and
+``cse.py``):
+
+* ``hoist_invariant_multiplicative_terms_in_sum_reduction`` (reference :659):
+  pull operands that don't depend on part of a reduction out of it — e.g.
+  ``Σ_{x,r,j} J·D·u → Σ_{r,j} D·(Σ_x J·u)``, a 4.14x flop cut on DG grad.
+  In this architecture that's a *contraction-schedule* choice, so the helper
+  returns a rescheduled program rather than rewriting expressions.
+* ``extract_multiplicative_terms_in_sum_reduction_as_subst`` (reference
+  :796): name a sub-product as an explicit intermediate — here, a schedule
+  step.
+
+Both operate on :class:`EinsumProgram` and leave the einsum untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from .codegen.program import EinsumProgram
+from .contraction_schedule import (
+    ContractionSchedule,
+    EinsumOperand,
+    IntermediateResult,
+    get_opt_einsum_contraction_schedule,
+)
+from .einsum import BatchedEinsum
+
+
+def _step_for_positions(einsum: BatchedEinsum, positions: Sequence[int],
+                        tmp_name: str):
+    """Schedule step contracting the given operand positions; result keeps
+    every index used by the remaining operands or the output."""
+    used_elsewhere = set(einsum.out_idx_set)
+    for j in range(einsum.n):
+        if j not in positions:
+            used_elsewhere |= set(einsum.in_idx_sets[j])
+    in_subs = ["".join(einsum.in_idx_sets[j]) for j in positions]
+    step_letters = []
+    for s in in_subs:
+        for l in s:
+            if l not in step_letters:
+                step_letters.append(l)
+    out_sub = "".join(l for l in step_letters if l in used_elsewhere)
+    return f"{','.join(in_subs)}->{out_sub}", out_sub
+
+
+def extract_multiplicative_terms_in_sum_reduction_as_subst(
+        program: EinsumProgram, positions: Sequence[int], *,
+        tmp_name: str = "_fe_tmp_hoist") -> EinsumProgram:
+    """Reschedule so the product of operands at *positions* (with any of
+    their private reduction indices summed away) becomes an explicit first
+    step (parity: reference loopy_utils/__init__.py:796-866)."""
+    e = program.einsum
+    positions = sorted(positions)
+    if not positions or not all(0 <= p < e.n for p in positions):
+        raise ValueError(f"invalid operand positions {positions}")
+    if len(positions) == e.n:
+        raise ValueError("cannot hoist every operand")
+
+    step1_subs, tmp_sub = _step_for_positions(e, positions, tmp_name)
+    rest = [j for j in range(e.n) if j not in positions]
+    in2 = [tmp_sub] + ["".join(e.in_idx_sets[j]) for j in rest]
+    step2_subs = f"{','.join(in2)}->{''.join(e.out_idx_set)}"
+    schedule = ContractionSchedule(
+        subscripts=(step1_subs, step2_subs),
+        result_names=(tmp_name, "_fe_out"),
+        arguments=(
+            tuple(EinsumOperand(p) for p in positions),
+            (IntermediateResult(tmp_name),)
+            + tuple(EinsumOperand(j) for j in rest),
+        ))
+    return program.copy(schedule=schedule)
+
+
+def hoist_invariant_multiplicative_terms_in_sum_reduction(
+        program: EinsumProgram,
+        invariant_positions: Optional[Sequence[int]] = None
+) -> EinsumProgram:
+    """Hoist the reduction's separable factor (parity: reference
+    loopy_utils/__init__.py:659-687).  With explicit *invariant_positions*
+    those operands' product becomes the inner step; otherwise the flop-
+    optimal (opt_einsum) multi-step schedule is used, which performs the same
+    factorization automatically."""
+    if invariant_positions is not None:
+        return extract_multiplicative_terms_in_sum_reduction_as_subst(
+            program, invariant_positions)
+    return program.copy(
+        schedule=get_opt_einsum_contraction_schedule(program.einsum))

@@ -242,6 +242,7 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
              test_limit: Optional[int] = None,
              skip_value_mismatch: bool = False,
              seed: int = 0,
+             seed_configs: Optional[list] = None,
              timeit_kwargs: Optional[dict] = None) -> None:
     """Explore *module_path*'s transform space on *einsum*, recording every
     measured point into the archive (parity: reference
@@ -279,8 +280,12 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
 
     t_start = time.time()
     n_tested = 0
+    pending = [dict(c) for c in (seed_configs or [])
+               if validate_params_in_space(space, dict(c))]
 
     def propose() -> dict:
+        if pending:
+            return pending.pop(0)
         if results and rng.random() < 0.5:
             # mutate one of the top-3 configs
             best = sorted(results, key=lambda rp: rp[0])[:3]

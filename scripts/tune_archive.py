@@ -1,0 +1,84 @@
+"""Seed the shipped transform archive by autotuning the reference suite on
+the real TPU.  One einsum at a time, budgeted; resumable (DB dedup)."""
+import logging
+import sys
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import feinsum_tpu as f
+from feinsum_tpu import sql_utils
+from feinsum_tpu.tuning import autotune
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s: %(message)s")
+
+NDOF = 35
+E_TUNE = 1_000_000
+
+SUITE = []
+
+div = f.batched_einsum(
+    "es,sij,ej->ei",
+    [[f.array(jn, ("E", 3), "float32"),
+      f.array("R", (3, NDOF, NDOF), "float32"),
+      f.array(un, ("E", NDOF), "float32")]
+     for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+SUITE.append(("dg_div_v0", div))
+
+grad = f.einsum("xre,rij,ej->xei", f.array("J", (3, 3, "E"), "float32"),
+                f.array("D", (3, NDOF, NDOF), "float32"),
+                f.array("u", ("E", NDOF), "float32"))
+SUITE.append(("dg_grad_v0", grad))
+
+face = f.einsum("ifj,fe,fej->ei",
+                f.array("L", (NDOF, 4, 15), "float32"),
+                f.array("Fj", (4, "E"), "float32"),
+                f.array("flux", (4, "E", 15), "float32"))
+SUITE.append(("face_mass_v0", face))
+
+mass = f.einsum("e,ij,ej->ei", f.array("jac", ("E",), "float32"),
+                f.array("M", (NDOF, NDOF), "float32"),
+                f.array("u", ("E", NDOF), "float32"))
+SUITE.append(("mass_v0", mass))
+
+matvec = f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                  f.array("D", (20, 20), "float32"))
+SUITE.append(("mass_v0", matvec))
+
+copy2 = f.einsum("ij,ij->ij", f.array("A", ("E", NDOF), "float32"),
+                 f.array("B", ("E", NDOF), "float32"))
+SUITE.append(("elementwise_v0", copy2))
+
+if __name__ == "__main__":
+    budget = float(sys.argv[1]) if len(sys.argv) > 1 else 600.0
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    for impl, einsum in SUITE:
+        if only and only not in impl:
+            continue
+        print(f"=== tuning {impl}: {einsum.get_subscripts()} ===",
+              flush=True)
+        t0 = time.time()
+        seeds = []
+        if impl in ("dg_div_v0", "dg_grad_v0", "face_mass_v0"):
+            for lb in (13, 14):
+                seeds.append({"log2_block": lb, "hoist": True,
+                              "parallel_grid": True, "dofmajor": True})
+        elif impl == "mass_v0":
+            for lb in (13, 14):
+                seeds.append({"log2_block": lb, "parallel_grid": True,
+                              "dofmajor": True})
+        elif impl == "elementwise_v0":
+            seeds.append({"log2_block": 13, "parallel_grid": True,
+                          "flatten": False})
+        try:
+            autotune(einsum, impl, db_path=sql_utils.DEFAULT_DB,
+                     long_dim_length=E_TUNE, stop_after=budget,
+                     seed_configs=seeds,
+                     timeit_kwargs={"validation_long_dim_length": 2000})
+        except Exception as ex:  # noqa: BLE001
+            print(f"{impl} tuning error: {str(ex)[:200]}", flush=True)
+        print(f"=== {impl} done in {time.time()-t0:.0f}s ===", flush=True)
+    print("TUNING COMPLETE", flush=True)
