@@ -231,15 +231,37 @@ def _demote(rep: Rep, letter, lengths) -> Rep:
     return Rep(rep.small + (letter,), new_big, data)
 
 
+def _dot_bf16_3x(lhs, rhs, dims, jax, jnp):
+    """f32 matmul as three bf16 MXU passes (hi*hi + hi*lo + lo*hi), ~2x the
+    6-pass Precision.HIGHEST rate at ~2^-21 relative accuracy."""
+    def split(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    lh, ll = split(lhs)
+    rh, rl = split(rhs)
+    kw = {"preferred_element_type": jnp.float32}
+    return (jax.lax.dot_general(lh, rh, dims, **kw)
+            + jax.lax.dot_general(lh, rl, dims, **kw)
+            + jax.lax.dot_general(ll, rh, dims, **kw))
+
+
 def _contract_pieces(pieces, e, e_contracted, k, n, result_big, accum_dtype,
                      dot_precision, jax, jnp):
     """Contract factor pieces (each dims subset of {e,k,n}) over k (MXU when
     possible) and over e when e is contracted (VPU sum)."""
+    use_3x = dot_precision == "bf16_3x"
     dot_kwargs = {}
     if accum_dtype is not None:
         dot_kwargs["preferred_element_type"] = accum_dtype
-    if dot_precision is not None:
+    if dot_precision is not None and not use_3x:
         dot_kwargs["precision"] = dot_precision
+
+    def do_dot(lhs, rhs, dims):
+        if use_3x and jnp.dtype(lhs.dtype) == jnp.float32:
+            return _dot_bf16_3x(lhs, rhs, dims, jax, jnp)
+        return jax.lax.dot_general(lhs, rhs, dims, **dot_kwargs)
 
     post = [(axes, arr) for axes, arr in pieces if k is None or k not in axes]
     kgroup = [(axes, arr) for axes, arr in pieces
@@ -263,12 +285,10 @@ def _contract_pieces(pieces, e, e_contracted, k, n, result_big, accum_dtype,
             if n is not None:
                 cka, ckb = a_axes.index(k), b_axes.index(k)
                 if result_big == (n, e):
-                    core = jax.lax.dot_general(
-                        B, A, (((ckb,), (cka,)), ((), ())), **dot_kwargs)
+                    core = do_dot(B, A, (((ckb,), (cka,)), ((), ())))
                     core_axes = (n, e)
                 else:
-                    core = jax.lax.dot_general(
-                        A, B, (((cka,), (ckb,)), ((), ())), **dot_kwargs)
+                    core = do_dot(A, B, (((cka,), (ckb,)), ((), ())))
                     core_axes = (e, n)
             else:
                 Bb = _bcast_to(b_axes, B, a_axes)

@@ -278,6 +278,9 @@ def build_pallas_executable(program, index_to_length: dict):
                          if np.dtype(eff_dtype).itemsize >= 4 else None)
     elif prec_name == "fastest":
         dot_precision = None
+    elif prec_name == "bf16_3x":
+        # manual 3-pass split-bf16 f32 matmul (see kernel_lowering)
+        dot_precision = "bf16_3x"
     else:
         dot_precision = getattr(jax.lax.Precision, prec_name.upper())
 
