@@ -19,7 +19,12 @@ def variant_1(program):
             dimension_semantics="parallel")
 
 
+def _bench_long_dim():
+    import jax
+    return 500_000 if jax.devices()[0].platform == "tpu" else 4_000
+
+
 if __name__ == "__main__":
     print(f.stringify_comparison_vs_roofline(
-        einsum, transform=variant_1, long_dim_length=500_000,
+        einsum, transform=variant_1, long_dim_length=_bench_long_dim(),
         ignore_unknown_device=True))

@@ -25,10 +25,15 @@ def variant_1(program):
             dimension_semantics="parallel")
 
 
+def _bench_long_dim():
+    import jax
+    return 500_000 if jax.devices()[0].platform == "tpu" else 4_000
+
+
 if __name__ == "__main__":
     for name, variant in [("xla-hoisted", variant_0),
                           ("pallas-fused", variant_1)]:
         print(f"==== {name} ====")
         print(f.stringify_comparison_vs_roofline(
-            einsum, transform=variant, long_dim_length=500_000,
+            einsum, transform=variant, long_dim_length=_bench_long_dim(),
             ignore_unknown_device=True))

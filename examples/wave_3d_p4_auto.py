@@ -8,7 +8,8 @@ import jax
 from feinsum_tpu import sql_utils
 from feinsum_tpu.models import WaveOperator3D, make_wave_state
 
-N_ELEMENTS = 200_000
+import jax as _jax
+N_ELEMENTS = 200_000 if _jax.devices()[0].platform == "tpu" else 2_000
 
 if __name__ == "__main__":
     op = WaveOperator3D(ndof=35, nfacedof=15, dtype="float32",

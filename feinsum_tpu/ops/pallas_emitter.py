@@ -291,8 +291,9 @@ def build_pallas_executable(program, index_to_length: dict):
     if grid_ix is not None:
         lengths_kernel[grid_ix] = block_long
 
-    def row_result(row, rep_cache, blocks_by_name) -> "Rep":
+    def row_result(row, rep_cache, step_cache, blocks_by_name) -> "Rep":
         env = {}
+        env_key = {}
         result = None
         for subs, name, step_args in zip(schedule.subscripts,
                                          schedule.result_names,
@@ -300,6 +301,7 @@ def build_pallas_executable(program, index_to_length: dict):
             ins_sub, out_sub = subs.replace(" ", "").split("->")
             ins_subs = ins_sub.split(",")
             factors = []
+            factor_keys = []
             for a, s in zip(step_args, ins_subs):
                 if isinstance(a, EinsumOperand):
                     arg = e.args[row][a.position]
@@ -322,13 +324,21 @@ def build_pallas_executable(program, index_to_length: dict):
                     if any(trans[l] != l for l in use_letters):
                         rep = rep.rename(trans)
                     factors.append(rep)
+                    factor_keys.append(("arg", arg.name, stored_use, s))
                 else:
                     assert isinstance(a, IntermediateResult)
                     factors.append(env[a.name])
-            env[name] = lower_step(
-                factors, tuple(out_sub), grid_ix, lengths_kernel,
-                accum_dtype=accum, big_order_pref=out_idx,
-                dot_precision=dot_precision)
+                    factor_keys.append(env_key[a.name])
+            # cross-row CSE (the hoist_cses analog, reference cse.py:307):
+            # identical steps over identical operands compute once per block
+            skey = (subs, tuple(factor_keys))
+            if skey not in step_cache:
+                step_cache[skey] = lower_step(
+                    factors, tuple(out_sub), grid_ix, lengths_kernel,
+                    accum_dtype=accum, big_order_pref=out_idx,
+                    dot_precision=dot_precision)
+            env[name] = step_cache[skey]
+            env_key[name] = skey
             result = env[name]
         return result
 
@@ -353,8 +363,9 @@ def build_pallas_executable(program, index_to_length: dict):
         blocks = {name: _mask_tail(name, ref[...])
                   for name, ref in zip(arg_names, in_refs)}
         rep_cache: dict = {}
+        step_cache: dict = {}
         for row in range(n_rows):
-            res = row_result(row, rep_cache, blocks)
+            res = row_result(row, rep_cache, step_cache, blocks)
             # store every unrolled slice of the result Rep
             for key, val in res.data.items():
                 combo = dict(zip(res.small, key))
