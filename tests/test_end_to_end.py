@@ -1,0 +1,70 @@
+"""The full product loop, end to end on CPU: trace a user's JAX function,
+match it, look up the archive, replay the transform, execute, validate —
+the reference's transform-knowledge-transfer test (test_loopy_utils.py:
+145-173) in TPU-native form."""
+
+import doctest
+
+import jax.numpy as jnp
+import numpy as np
+
+import feinsum_tpu as f
+from feinsum_tpu import sql_utils
+from feinsum_tpu.matching import get_a_matched_einsum
+
+
+def test_trace_match_retrieve_replay(tmp_path):
+    db = str(tmp_path / "archive.sqlite")
+
+    # 1. someone tuned the canonical DG divergence and recorded a fact
+    ndof = 8
+    tuned = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array("Jx", ("E", 3), "float32"),
+          f.array("R", (3, ndof, ndof), "float32"),
+          f.array("ux", ("E", ndof), "float32")]])
+    sql_utils.record_facts(
+        tuned, transform_id="dg_div_v0.py",
+        transform_params={"log2_block": 8, "hoist": True,
+                          "parallel_grid": True, "dofmajor": True},
+        runtime_in_sec=1e-4, device="TPU v5 lite", db_path=db,
+        long_dim_length=1000)
+
+    # 2. a user writes their own differently-named computation
+    def user_div(jac, ref_mat, dofs):
+        return jnp.einsum("ns,sab,nb->na", jac, ref_mat, dofs)
+
+    E = 640
+    args = [jnp.ones((E, 3), jnp.float32),
+            jnp.ones((3, ndof, ndof), jnp.float32),
+            jnp.ones((E, ndof), jnp.float32)]
+    matched, _ = get_a_matched_einsum(user_div, args)
+
+    # 3. archive hit via canonical form, despite all-new names
+    transform = sql_utils.retrieve(matched, "TPU v5 lite", db_path=db)
+
+    # 4. replay onto the user's program and validate numerically
+    f.validate_batched_einsum_transform(matched, transform,
+                                        long_dim_length=E)
+    program = transform(f.generate_program(matched))
+    assert program.descriptor.backend == "pallas"
+    assert program.descriptor.block_long == 256
+    assert program.descriptor.arg_layouts  # dofmajor applied
+
+    fn = f.build_executable(program, long_dim_length=E)
+    from feinsum_tpu.measure import _apply_layouts
+    arrays = _apply_layouts(program, {"jac": np.ones((E, 3), np.float32),
+                                      "ref_mat": np.ones((3, ndof, ndof),
+                                                         np.float32),
+                                      "dofs": np.ones((E, ndof),
+                                                      np.float32)})
+    (out,) = fn(arrays)
+    # out delivered in the descriptor's stored layout (dof-major)
+    assert out.shape == (ndof, E)
+    np.testing.assert_allclose(np.asarray(out), 3.0 * ndof, rtol=1e-5)
+
+
+def test_doctests():
+    import feinsum_tpu.utils as utils_mod
+    failures, _ = doctest.testmod(utils_mod).failed, None
+    assert not failures
