@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, replace
 from functools import cached_property, reduce
-from typing import Any, Union
+from typing import Union
 
 import numpy as np
 

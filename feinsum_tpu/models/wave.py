@@ -96,8 +96,6 @@ class WaveOperator3D:
     def make_step(self, n_elements: int, dt: float = 1e-3):
         """jittable ``step(state, geometry) -> state`` advancing (u, v) one
         explicit-Euler step of the wave system."""
-        import jax
-        import jax.numpy as jnp
 
         fns = self.executables(n_elements)
 

@@ -23,8 +23,6 @@ Design (TPU-first, no loopy analog):
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Optional
 
 import numpy as np

@@ -112,7 +112,6 @@ def reduction_sharded_executable(program: EinsumProgram, mesh, *,
     contracted index over *model_axis* (TP) with a ``psum`` over partial
     contractions riding ICI."""
     import jax
-    import jax.numpy as jnp
     from jax import shard_map
 
     e = program.einsum

@@ -32,13 +32,10 @@ from typing import Any, Callable, Optional
 
 import numpy as np
 
-from .canonicalization import (
-    canonicalize_einsum,
-    get_substitution_mapping_between_isomorphic_batched_einsums,
-)
+from .canonicalization import canonicalize_einsum
 from .data.device_info import get_device_key
 from .diagnostics import NoFactInDatabaseError
-from .einsum import INT_CLASSES, BatchedEinsum, SizeParam
+from .einsum import INT_CLASSES, BatchedEinsum
 
 logger = logging.getLogger(__name__)
 
