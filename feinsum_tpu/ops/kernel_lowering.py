@@ -178,6 +178,17 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
     out_small = tuple(l for l in out_letters if l in unroll)
     sum_small = [l for l in contracted if l in unroll]
 
+    # fold tiny unrolled contraction axes into the MXU K dimension when every
+    # factor carries them alongside k: sum_s A_s(e,k) @ B_s(k,n) becomes one
+    # concat_k(A) @ concat_k(B) with K' = |s| * K — strictly fewer (padded)
+    # MXU passes (e.g. DG div step2: 3 dots of K=35 -> 1 dot of K=105)
+    if (k_ax is not None and sum_small
+            and all(k_ax in r.big and set(sum_small) <= set(r.small)
+                    for r in reps)):
+        reps = [_fold_into_k(r, sum_small, k_ax, lengths, jnp)
+                for r in reps]
+        sum_small = []
+
     result_letters = {l for l in (e_letter if e_in_out else None, n_ax)
                       if l is not None}
     # orientation: honor the caller's preferred order (the output's stored
@@ -216,6 +227,33 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
                 acc = jnp.broadcast_to(acc, full)
         result[out_key] = acc
     return Rep(out_small, result_big, result)
+
+
+def _fold_into_k(rep: Rep, fold_letters, k_ax, lengths, jnp) -> Rep:
+    """Concatenate the slices over *fold_letters* along the k axis (same
+    enumeration order in every factor, so the widened contraction equals the
+    unrolled sum)."""
+    import itertools as it
+
+    k_pos = rep.big.index(k_ax)
+    keep_small = tuple(l for l in rep.small if l not in fold_letters)
+    fold_pos = [rep.small.index(l) for l in fold_letters]
+    keep_pos = [i for i, l in enumerate(rep.small) if l not in fold_letters]
+    data = {}
+    for keep_key in it.product(*[range(lengths[rep.small[i]])
+                                 for i in keep_pos]):
+        parts = []
+        for fold_key in it.product(*[range(lengths[l])
+                                     for l in fold_letters]):
+            full = [None] * len(rep.small)
+            for i, v in zip(keep_pos, keep_key):
+                full[i] = v
+            for i, v in zip(fold_pos, fold_key):
+                full[i] = v
+            parts.append(rep.data[tuple(full)])
+        data[keep_key] = (parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts, axis=k_pos))
+    return Rep(keep_small, rep.big, data)
 
 
 def _demote(rep: Rep, letter, lengths) -> Rep:
