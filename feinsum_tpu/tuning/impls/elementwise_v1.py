@@ -1,0 +1,31 @@
+"""
+Schedule space for bandwidth-bound kernels over one long axis — v1 adds the
+dof-major layout knob (XLA:TPU tiles (E, ndof) HBM arrays to (8,128),
+padding short lane dims ~3.7x; rotating the long axis onto lanes recovers
+it).  Supersedes elementwise_v0 (whose recorded facts remain replayable).
+"""
+
+from __future__ import annotations
+
+from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
+from feinsum_tpu.tuning.impls._common import fused_pallas_program
+
+
+@transform_param("log2_block", lambda e: IntParameter(8, 16))
+@transform_param("dofmajor", lambda e: BoolParameter())
+@transform_param("flatten", lambda e: BoolParameter())
+@transform_param("parallel_grid", lambda e: BoolParameter())
+def transform(program, log2_block, dofmajor, flatten, parallel_grid):
+    return fused_pallas_program(
+        program, block_long=2 ** log2_block, hoist=False,
+        parallel_grid=parallel_grid, dofmajor=dofmajor, flatten=flatten)
+
+
+if __name__ == "__main__":
+    import feinsum_tpu as f
+    from feinsum_tpu.tuning import autotune
+
+    einsum = f.einsum("ij,ij->ij",
+                      f.array("A", ("E", 35), "float32"),
+                      f.array("B", ("E", 35), "float32"))
+    autotune(einsum, __file__, stop_after=300, long_dim_length=1_000_000)
