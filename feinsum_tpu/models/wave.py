@@ -71,6 +71,8 @@ class WaveOperator3D:
             array("Fj", (nfaces, "E"), d),
             array("flux", (nfaces, "E", nfacedof), d))
 
+        from ..ops.layouts import dofmajor_layouts
+
         self._programs = {}
         for name, e in [("grad", self.grad_einsum),
                         ("div", self.div_einsum),
@@ -87,6 +89,12 @@ class WaveOperator3D:
             else:
                 program = _default_transform(
                     program, use_pallas=use_pallas, block_long=block_long)
+            # the model keeps its state and geometry dof-major end to end
+            # (zero transposes per step), so pin the data layouts regardless
+            # of what schedule the archive chose
+            layouts, out_perm = dofmajor_layouts(e)
+            program = program.with_descriptor(arg_layouts=layouts,
+                                              out_layout=out_perm)
             self._programs[name] = program
 
     def executables(self, n_elements: int) -> dict:
@@ -100,27 +108,38 @@ class WaveOperator3D:
         fns = self.executables(n_elements)
 
         def step(state, geom):
-            u, v = state["u"], state["v"]     # (E,P), (3,E,P)
+            # state is dof-major: u (P, E), v (3, P, E); geometry arrays are
+            # pre-permuted by make_wave_state to match the programs' layouts
+            u, v = state["u"], state["v"]
             grad_u, = fns["grad"]({"J": geom["J"], "D": geom["D"], "u": u})
             vx, vy, vz = fns["div"]({
                 "Jx": geom["Jx"], "Jy": geom["Jy"], "Jz": geom["Jz"],
                 "D": geom["D"],
                 "vx": v[0], "vy": v[1], "vz": v[2]})
-            div_v = vx + vy + vz
+            div_v = vx + vy + vz                      # (P, E)
             lift, = fns["face"]({"L": geom["L"], "Fj": geom["Fj"],
                                  "flux": geom["flux"]})
-            new_v = v + dt * grad_u
+            new_v = v + dt * grad_u                   # grad out: (x, P, E)
             new_u = u + dt * (div_v + lift)
             return {"u": new_u, "v": new_v}
 
         return step
+
+    def layouts(self) -> dict:
+        """arg name -> stored-axis permutation, across all programs."""
+        out = {}
+        for p in self._programs.values():
+            out.update(p.descriptor.arg_layouts_map)
+        return out
 
 
 def make_wave_state(n_elements: int, *, ndof: int = 35, nfacedof: int = 15,
                     nfaces: int = 4, dtype: str = "float32", seed: int = 0
                     ) -> tuple:
     """(state, geometry) pytrees with random data (the reference examples
-    likewise run on random inputs)."""
+    likewise run on random inputs), in the model's dof-major storage
+    layouts: u (P, E), v (3, P, E), per-component Jacobians (3, E),
+    flux (F, Pf, E)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
@@ -128,14 +147,14 @@ def make_wave_state(n_elements: int, *, ndof: int = 35, nfacedof: int = 15,
     def arr(*shape):
         return jnp.asarray(rng.random(shape), dtype=dtype)
 
-    state = {"u": arr(n_elements, ndof),
-             "v": jnp.stack([arr(n_elements, ndof) for _ in range(3)])}
+    state = {"u": arr(ndof, n_elements),
+             "v": arr(3, ndof, n_elements)}
     geom = {"J": arr(3, 3, n_elements),
-            "Jx": arr(n_elements, 3),
-            "Jy": arr(n_elements, 3),
-            "Jz": arr(n_elements, 3),
+            "Jx": arr(3, n_elements),
+            "Jy": arr(3, n_elements),
+            "Jz": arr(3, n_elements),
             "D": arr(3, ndof, ndof),
-            "L": arr(ndof, nfaces, nfacedof),
+            "L": arr(nfaces, ndof, nfacedof),
             "Fj": arr(nfaces, n_elements),
-            "flux": arr(nfaces, n_elements, nfacedof)}
+            "flux": arr(nfaces, nfacedof, n_elements)}
     return state, geom

@@ -142,11 +142,20 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
 
     # lane axis of the output: the *largest* eligible axis (picking a tiny
     # trailing axis would unroll a big one — e.g. 'ej,es->ejs' must keep j=35
-    # vectorized and unroll s=3, not the reverse)
-    n_candidates = [l for l in out_letters
-                    if l != e_letter and is_big_somewhere(l)]
-    n_ax = (max(n_candidates, key=lambda l: lengths[l])
-            if n_candidates else None)
+    # vectorized and unroll s=3, not the reverse).  Prefer axes that are big
+    # in every factor carrying them; otherwise the straggler factors get
+    # promoted (their slices stacked) below.
+    n_loose = [l for l in out_letters
+               if l != e_letter and is_big_somewhere(l)]
+    n_strict = [l for l in n_loose
+                if all(l in r.big for r in factor_reps
+                       if l in r.small + r.big)]
+    pool = n_strict or n_loose
+    n_ax = max(pool, key=lambda l: lengths[l]) if pool else None
+    if n_ax is not None and n_ax not in n_strict:
+        factor_reps = [
+            _promote(r, n_ax, lengths, jnp) if n_ax in r.small else r
+            for r in factor_reps]
 
     # contraction axis fed to the MXU: must be a big (array) axis in every
     # factor that carries it — if it's an unrolled axis anywhere, the whole
@@ -254,6 +263,26 @@ def _fold_into_k(rep: Rep, fold_letters, k_ax, lengths, jnp) -> Rep:
         data[keep_key] = (parts[0] if len(parts) == 1
                           else jnp.concatenate(parts, axis=k_pos))
     return Rep(keep_small, rep.big, data)
+
+
+def _promote(rep: Rep, letter, lengths, jnp) -> Rep:
+    """Stack the slices over *letter* into a trailing array dim (the inverse
+    of demotion; used when another factor needs the axis vectorized)."""
+    if len(rep.big) >= 2:
+        raise InvalidParameterError(
+            f"cannot promote {letter}: {rep.big} already has 2 array dims")
+    pos = rep.small.index(letter)
+    keep_small = tuple(l for i, l in enumerate(rep.small) if i != pos)
+    data = {}
+    import itertools as it
+    for key in it.product(*[range(lengths[l]) for l in keep_small]):
+        parts = []
+        for v in range(lengths[letter]):
+            full = list(key)
+            full.insert(pos, v)
+            parts.append(rep.data[tuple(full)])
+        data[key] = jnp.stack(parts, axis=len(rep.big))
+    return Rep(keep_small, rep.big + (letter,), data)
 
 
 def _demote(rep: Rep, letter, lengths) -> Rep:

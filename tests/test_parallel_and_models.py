@@ -66,8 +66,8 @@ def test_wave_model_step():
     step = jax.jit(op.make_step(256, dt=1e-3))
     state, geom = make_wave_state(256, ndof=10, nfacedof=6)
     out = step(state, geom)
-    assert out["u"].shape == (256, 10)
-    assert out["v"].shape == (3, 256, 10)
+    assert out["u"].shape == (10, 256)       # dof-major state
+    assert out["v"].shape == (3, 10, 256)
     assert bool(np.isfinite(np.asarray(out["u"])).all())
     # energy-ish sanity: the update actually changed the state
     assert not np.allclose(np.asarray(out["u"]), np.asarray(state["u"]))
@@ -102,3 +102,36 @@ def test_graft_entry():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_wave_model_numerics():
+    """One wave step vs a numpy reference computed from the logical views of
+    the dof-major state/geometry (catches layout plumbing mistakes)."""
+    import jax
+    from feinsum_tpu.models import WaveOperator3D, make_wave_state
+
+    ndof, nfdof, E, dt = 6, 4, 64, 1e-3
+    op = WaveOperator3D(ndof=ndof, nfacedof=nfdof, dtype="float32",
+                        use_pallas=True, block_long=32)
+    step = jax.jit(op.make_step(E, dt=dt))
+    state, geom = make_wave_state(E, ndof=ndof, nfacedof=nfdof)
+    out = step(state, geom)
+
+    g = {k: np.asarray(v) for k, v in geom.items()}
+    u = np.asarray(state["u"]).T                     # logical (E, P)
+    v = np.asarray(state["v"]).transpose(0, 2, 1)    # (3, E, P)
+    grad = np.einsum("xre,rij,ej->xei", g["J"],
+                     g["D"], u)
+    div = sum(np.einsum("es,sij,ej->ei", g[f"J{x}"].T, g["D"],
+                        v[i].reshape(E, ndof))
+              for i, x in enumerate("xyz"))
+    lift = np.einsum("ifj,fe,fej->ei", g["L"].transpose(1, 0, 2),
+                     g["Fj"], g["flux"].transpose(0, 2, 1))
+    exp_u = u + dt * (div + lift)
+    exp_v = v + dt * grad.transpose(0, 1, 2)
+
+    np.testing.assert_allclose(np.asarray(out["u"]).T, exp_u, rtol=2e-5,
+                               atol=2e-5 * abs(exp_u).max())
+    np.testing.assert_allclose(np.asarray(out["v"]).transpose(0, 2, 1),
+                               exp_v, rtol=2e-5,
+                               atol=2e-5 * abs(exp_v).max())
