@@ -8,8 +8,7 @@ import jax
 from feinsum_tpu import sql_utils
 from feinsum_tpu.models import WaveOperator3D, make_wave_state
 
-import jax as _jax
-N_ELEMENTS = 200_000 if _jax.devices()[0].platform == "tpu" else 2_000
+N_ELEMENTS = 500_000 if jax.devices()[0].platform == "tpu" else 2_000
 
 if __name__ == "__main__":
     op = WaveOperator3D(ndof=35, nfacedof=15, dtype="float32",
@@ -17,11 +16,20 @@ if __name__ == "__main__":
     step = jax.jit(op.make_step(N_ELEMENTS))
     state, geom = make_wave_state(N_ELEMENTS)
 
-    state = step(state, geom)          # compile
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        state = step(state, geom)
-    jax.block_until_ready(state)
-    dt = (time.perf_counter() - t0) / 20
-    print(f"wave step: {dt * 1e3:.2f} ms / step at E={N_ELEMENTS}")
+    # time k chained steps inside one jit (robust against async dispatch)
+    @jax.jit
+    def run(state, geom, k):
+        st = jax.lax.fori_loop(0, k, lambda _, s: step(s, geom), state,
+                               unroll=False)
+        return st["u"].ravel()[0]
+
+    _ = float(run(state, geom, 1))          # compile
+    t1 = time.perf_counter()
+    _ = float(run(state, geom, 4))
+    t1 = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    _ = float(run(state, geom, 104))
+    t2 = time.perf_counter() - t2
+    dt = (t2 - t1) / 100
+    print(f"wave step: {dt * 1e3:.2f} ms/step at E={N_ELEMENTS}"
+          f" ({N_ELEMENTS * op.ndof / dt / 1e9:.1f} Gdof/s)")
