@@ -22,6 +22,7 @@ from .codegen import (
     EinsumProgram,
     ScheduleDescriptor,
     build_executable,
+    enable_persistent_compilation_cache,
     generate_program,
     generate_program_with_opt_einsum_schedule,
 )
@@ -99,6 +100,7 @@ __all__ = (
     "build_executable",
     "canonicalize_einsum",
     "einsum",
+    "enable_persistent_compilation_cache",
     "extract_multiplicative_terms_in_sum_reduction_as_subst",
     "generate_program",
     "generate_program_with_opt_einsum_schedule",

@@ -16,15 +16,17 @@ schedule descriptor is pure data interpreted by two backends:
 from .descriptor import ScheduleDescriptor
 from .program import (
     EinsumProgram,
+    build_executable,
+    enable_persistent_compilation_cache,
     generate_program,
     generate_program_with_opt_einsum_schedule,
-    build_executable,
 )
 
 __all__ = (
     "EinsumProgram",
     "ScheduleDescriptor",
     "build_executable",
+    "enable_persistent_compilation_cache",
     "generate_program",
     "generate_program_with_opt_einsum_schedule",
 )

@@ -97,6 +97,22 @@ def _precision(name: str):
     return name  # dot-algorithm preset string, passed through
 
 
+def enable_persistent_compilation_cache(directory: Optional[str] = None
+                                        ) -> None:
+    """Persist compiled executables across processes so a DB-hit replay after
+    the first-ever compile is a cache lookup (the reference's "<10 ms
+    hit→codegen" budget, SURVEY.md §7.6; jit-level caching handles repeats
+    within a process)."""
+    import os
+
+    import jax
+    directory = directory or os.path.join(
+        os.path.expanduser("~"), ".cache", "feinsum_tpu_xla")
+    os.makedirs(directory, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def ensure_x64_if_needed(einsum: BatchedEinsum) -> None:
     """Enable jax x64 mode when the einsum uses 64-bit dtypes (JAX defaults
     to 32-bit otherwise and would silently truncate)."""

@@ -454,6 +454,30 @@ def stringify_comparison_vs_roofline(
 # }}}
 
 
+# {{{ profiling
+
+def profile_program(program: EinsumProgram, *, long_dim_length: int = 100_000,
+                    trace_dir: str = "/tmp/feinsum_tpu_trace",
+                    n_iters: int = 10) -> str:
+    """Capture a jax profiler trace of the compiled program (viewable in
+    TensorBoard/Perfetto); returns the trace directory.  The reference has no
+    tracer (SURVEY.md §5) — this is the TPU-native extra."""
+    import jax
+
+    arrays = _apply_layouts(program, generate_input_arrays(
+        program.einsum, long_dim_length=long_dim_length))
+    fn = build_executable(program, long_dim_length=long_dim_length)
+    out = fn(arrays)
+    jax.block_until_ready(out)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(n_iters):
+            out = fn(arrays)
+        jax.block_until_ready(out)
+    return trace_dir
+
+# }}}
+
+
 # {{{ device calibration
 
 def calibrate_device_peaks(*, sizes=(4096,), dtype="float32",
