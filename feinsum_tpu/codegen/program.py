@@ -94,6 +94,11 @@ def _precision(name: str):
         return None
     if lowered in ("high", "highest"):
         return getattr(jax.lax.Precision, lowered.upper())
+    if lowered == "bf16_3x":
+        # Same descriptor vocabulary as the Pallas emitter: a 3-pass
+        # split-bfloat16 dot that passes the f32 validation oracle on TPU
+        # (plain f32 "default" lowers to 1-pass bf16 there and fails it).
+        return "bfloat16_3x"
     return name  # dot-algorithm preset string, passed through
 
 
