@@ -56,6 +56,15 @@ class ScheduleDescriptor:
     arg_layouts: tuple = ()
     out_layout: Optional[tuple] = None   # axis perm applied to every output
     flatten: bool = False                # 1D-stream pure-elementwise programs
+    # fold the trailing long axis E -> (fold_long, E/fold_long) in HBM so the
+    # sublane dim is exactly the f32 tile height (8): a dof-major (35, E)
+    # array tiles to 40 sublane rows (12.5% wasted HBM traffic), while
+    # (35, 8, E/8) tiles exactly; kernels view blocks as (35, 8*blk) for the
+    # MXU (a free view: sublane tiles group rows in 8s).  Measured on v5e:
+    # streaming 600 -> 691 GB/s (scripts/tpu_fold_probe*.py).  Requires
+    # dof-major storage (the long axis trailing on every operand/output that
+    # carries it) and E % fold_long == 0.
+    fold_long: int = 1
     precision: str = "default"
     dimension_semantics: str = "arbitrary"
     vmem_limit_bytes: Optional[int] = None

@@ -163,17 +163,33 @@ def _xla_row_fn(program: EinsumProgram, row: int, arrays_by_name: dict):
     if desc.out_layout is not None:
         result = jnp.transpose(result, tuple(int(p) for p in
                                              desc.out_layout))
+    fold = getattr(desc, "fold_long", 1) or 1
+    if fold > 1:
+        from ..ops.layouts import fold_axis_of
+        out_idx = (tuple(e.out_idx_set[p] for p in desc.out_layout)
+                   if desc.out_layout is not None else tuple(e.out_idx_set))
+        if out_idx and out_idx[-1] == fold_axis_of(program):
+            result = jnp.reshape(
+                result, result.shape[:-1] + (fold, result.shape[-1] // fold))
     return result
 
 
 def _logical_arrays(program: EinsumProgram, arrays_by_name: dict) -> dict:
-    """Undo descriptor-mandated argument layouts to recover logical axes."""
+    """Undo descriptor-mandated argument layouts (fold + permutation) to
+    recover logical axes."""
     import jax.numpy as jnp
 
-    layouts = program.descriptor.arg_layouts_map
-    if not layouts:
-        return arrays_by_name
+    desc = program.descriptor
     out = dict(arrays_by_name)
+    if (getattr(desc, "fold_long", 1) or 1) > 1:
+        from ..ops.layouts import fold_axis_of, stored_arg_layouts
+        fold_ix = fold_axis_of(program)
+        for name, idx in stored_arg_layouts(program).items():
+            if fold_ix in idx:
+                arr = out[name]
+                out[name] = jnp.reshape(
+                    arr, arr.shape[:-2] + (arr.shape[-2] * arr.shape[-1],))
+    layouts = desc.arg_layouts_map
     for name, perm in layouts.items():
         inv = np.argsort(perm)
         out[name] = jnp.transpose(out[name], tuple(int(i) for i in inv))

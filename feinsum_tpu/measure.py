@@ -94,13 +94,13 @@ def generate_input_arrays(einsum: BatchedEinsum, *, long_dim_length: int,
 
 
 def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
+    from .ops.layouts import fold_arrays
+
     layouts = program.descriptor.arg_layouts_map
-    if not layouts:
-        return arrays
     out = dict(arrays)
     for name, perm in layouts.items():
         out[name] = out[name].transpose(tuple(int(p) for p in perm))
-    return out
+    return fold_arrays(program, out)
 
 # }}}
 
@@ -221,6 +221,11 @@ def validate_batched_einsum_transform(
         if not isinstance(program, EinsumProgram):
             raise TypeError("transform must return an EinsumProgram")
 
+    fold = getattr(program.descriptor, "fold_long", 1) or 1
+    if fold > 1 and long_dim_length % fold:
+        # folded layouts require the long axis divisible by fold_long
+        long_dim_length += fold - long_dim_length % fold
+
     np_arrays = generate_input_arrays(einsum, long_dim_length=long_dim_length,
                                       seed=seed, as_numpy=True)
     expected = _numpy_oracle(einsum, np_arrays)
@@ -234,11 +239,15 @@ def validate_batched_einsum_transform(
         raise TransformValidationError(
             f"expected {einsum.b} outputs, got {len(results)}")
     out_layout = program.descriptor.out_layout
+    fold = getattr(program.descriptor, "fold_long", 1) or 1
     for r, (got, ref) in enumerate(zip(results, expected)):
         got = np.asarray(got)
         if out_layout is not None:
             # outputs are delivered in the descriptor's stored layout
             ref = np.transpose(ref, tuple(int(p) for p in out_layout))
+        if fold > 1 and got.ndim == ref.ndim + 1:
+            # stored-folded output: trailing (E,) delivered as (f, E/f)
+            ref = np.reshape(ref, ref.shape[:-1] + (fold, -1))
         dt = output_dtype(einsum, r)
         tol = rtol if rtol is not None else DTYPE_TO_RTOL.get(
             np.dtype(dt), 1e-2)

@@ -193,6 +193,9 @@ def build_pallas_executable(program, index_to_length: dict):
     lengths = dict(index_to_length)
 
     if desc.flatten:
+        if getattr(desc, "fold_long", 1) > 1:
+            raise InvalidParameterError(
+                "flatten and fold_long are mutually exclusive")
         flat = _try_build_flat_elementwise(program, lengths)
         if flat is not None:
             return flat
@@ -204,6 +207,25 @@ def build_pallas_executable(program, index_to_length: dict):
     arg_idx = _arg_index_sets(e)
     layouts = desc.arg_layouts_map
 
+    # fold-8 sublane layout: the long axis is stored (f, E/f) so short-dof
+    # dof-major arrays tile HBM exactly (no 35->40 sublane padding; measured
+    # 600 -> 691 GB/s streaming on v5e, scripts/tpu_fold_probe*.py).  Blocks
+    # arrive (..., f, blkC) and are merged in-kernel to (..., f*blkC) — a
+    # free view, since sublane tiles group rows in 8s — so the lowering
+    # below is unchanged apart from the block boundaries.
+    fold = getattr(desc, "fold_long", 1) or 1
+    if fold > 1:
+        from .layouts import check_foldable
+        fold_ix = check_foldable(program)
+        if grid_ix is None or fold_ix != grid_ix:
+            raise InvalidParameterError(
+                f"fold_long targets axis {fold_ix!r} but the grid is over"
+                f" {grid_ix!r}")
+        if lengths[grid_ix] % fold:
+            raise InvalidParameterError(
+                f"fold_long={fold} requires the long axis"
+                f" ({lengths[grid_ix]}) to be divisible by it")
+
     # stored (HBM) subscript per arg after layout permutation
     stored_idx = {}
     for name, idx_set in arg_idx.items():
@@ -214,9 +236,18 @@ def build_pallas_executable(program, index_to_length: dict):
     if grid_ix is None:
         grid = (1,)
         block_long = None
+        blk_c = None
+        c_len = None
+    elif fold > 1:
+        c_len = lengths[grid_ix] // fold
+        blk_c = min(max(desc.block_long // fold, 1), c_len)
+        block_long = blk_c * fold        # merged in-kernel length
+        grid = (pl.cdiv(c_len, blk_c),)
     else:
         L = lengths[grid_ix]
         block_long = min(desc.block_long, L)
+        blk_c = None
+        c_len = None
         grid = (pl.cdiv(L, block_long),)
 
     long_is_contracted = (grid_ix is not None
@@ -228,13 +259,32 @@ def build_pallas_executable(program, index_to_length: dict):
             " contracted (the kernel accumulates across grid steps)")
 
     def block_shape_of(idx_tuple):
-        return tuple(
-            block_long if ix == grid_ix else lengths[ix]
-            for ix in idx_tuple)
+        shape = []
+        for ix in idx_tuple:
+            if ix == grid_ix:
+                shape.extend((fold, blk_c) if fold > 1 else (block_long,))
+            else:
+                shape.append(lengths[ix])
+        return tuple(shape)
+
+    def full_shape_of(idx_tuple):
+        shape = []
+        for ix in idx_tuple:
+            if ix == grid_ix and fold > 1:
+                shape.extend((fold, c_len))
+            else:
+                shape.append(lengths[ix])
+        return tuple(shape)
 
     def index_map_of(idx_tuple):
         def imap(g):
-            return tuple(g if ix == grid_ix else 0 for ix in idx_tuple)
+            out = []
+            for ix in idx_tuple:
+                if ix == grid_ix:
+                    out.extend((0, g) if fold > 1 else (g,))
+                else:
+                    out.append(0)
+            return tuple(out)
         return imap
 
     arg_names = sorted(e.all_args)
@@ -253,7 +303,7 @@ def build_pallas_executable(program, index_to_length: dict):
         out_idx = tuple(e.out_idx_set)
     out_block = block_shape_of(out_idx)
     out_shapes = [
-        jax.ShapeDtypeStruct(tuple(lengths[ix] for ix in out_idx), dt)
+        jax.ShapeDtypeStruct(full_shape_of(out_idx), dt)
         for dt in out_dtypes]
     out_specs = [pl.BlockSpec(out_block, index_map_of(out_idx))
                  for _ in range(e.b)]
@@ -284,10 +334,11 @@ def build_pallas_executable(program, index_to_length: dict):
 
     from .kernel_lowering import Rep, lower_step, rep_from_block
 
-    # in-kernel axis lengths: the grid axis shrinks to one block
+    # in-kernel axis lengths: the grid axis shrinks to one block (one
+    # sublane plane of it when folded — the lowering runs per s-slice)
     lengths_kernel = dict(lengths)
     if grid_ix is not None:
-        lengths_kernel[grid_ix] = block_long
+        lengths_kernel[grid_ix] = blk_c if fold > 1 else block_long
 
     def row_result(row, rep_cache, step_cache, blocks_by_name) -> "Rep":
         env = {}
@@ -342,48 +393,127 @@ def build_pallas_executable(program, index_to_length: dict):
 
     # when the long axis is contracted and the last block is padded, the pad
     # garbage would enter the accumulated sum: zero-mask every block that
-    # carries the grid axis (0 * garbage = 0 keeps all step products exact)
-    needs_tail_mask = (long_is_contracted and grid_ix is not None
-                       and lengths[grid_ix] % (block_long or 1) != 0)
+    # carries the grid axis (0 * garbage = 0 keeps all step products exact).
+    # With fold, padding can only occur on the trailing c axis (E % fold is
+    # enforced == 0), so the mask tests c positions.
+    if fold > 1:
+        needs_tail_mask = (long_is_contracted and grid_ix is not None
+                           and c_len % blk_c != 0)
+    else:
+        needs_tail_mask = (long_is_contracted and grid_ix is not None
+                           and lengths[grid_ix] % (block_long or 1) != 0)
 
     def _mask_tail(name, blk):
         if not needs_tail_mask or grid_ix not in stored_idx[name]:
             return blk
+        if fold > 1:
+            axis = blk.ndim - 1             # the c axis (grid stored last)
+            pos = (jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
+                   + pl.program_id(0) * blk_c)
+            return jnp.where(pos < c_len, blk, jnp.zeros_like(blk))
         axis = stored_idx[name].index(grid_ix)
         pos = (jax.lax.broadcasted_iota(jnp.int32, blk.shape, axis)
                + pl.program_id(0) * block_long)
         return jnp.where(pos < lengths[grid_ix], blk,
                          jnp.zeros_like(blk))
 
+    # folded pure products (copies, Hadamard): every operand/output shares
+    # the stored subscript, so the product runs directly on the 3/4D folded
+    # blocks — no slicing, native exact-tile streaming (691 GB/s measured,
+    # scripts/tpu_fold_probe.py case B)
+    fold_elementwise = (
+        fold > 1 and schedule.nsteps == 1 and not e.sum_indices
+        and all(stored_idx[name] == tuple(out_idx)
+                for name in arg_names))
+
+    def _store(row, out_refs, idx, val):
+        if long_is_contracted and grid[0] > 1:
+            @pl.when(pl.program_id(0) == 0)
+            def _init(row=row, idx=idx, val=val):
+                out_refs[row][idx] = val
+
+            @pl.when(pl.program_id(0) > 0)
+            def _acc(row=row, idx=idx, val=val):
+                out_refs[row][idx] = out_refs[row][idx] + val
+        else:
+            out_refs[row][idx] = val
+
+    def _store_rep(row, out_refs, res, s_slot):
+        # store every unrolled slice of the result Rep; with fold, the grid
+        # letter occupies two block dims (f, blkC) and s_slot picks the
+        # sublane plane
+        for key, val in res.data.items():
+            combo = dict(zip(res.small, key))
+            idx = []
+            for l in out_idx:
+                if l == grid_ix and fold > 1:
+                    idx.extend((s_slot, slice(None)))
+                elif l in res.small:
+                    idx.append(combo[l])
+                else:
+                    idx.append(slice(None))
+            # value dims follow res.big; match the output's big-axis order
+            out_big = tuple(l for l in out_idx if l not in res.small)
+            if len(res.big) == 2 and tuple(res.big) != out_big:
+                val = val.swapaxes(0, 1)
+            _store(row, out_refs, tuple(idx), val.astype(out_dtypes[row]))
+
     def kernel(*refs):
         in_refs = refs[:len(arg_names)]
         out_refs = refs[len(arg_names):]
         blocks = {name: _mask_tail(name, ref[...])
                   for name, ref in zip(arg_names, in_refs)}
+
+        if fold_elementwise:
+            for row in range(n_rows):
+                acc = None
+                for arg in e.args[row]:
+                    v = blocks[arg.name]
+                    if compute_dtype is not None:
+                        v = v.astype(compute_dtype)
+                    acc = v if acc is None else acc * v
+                out_refs[row][...] = acc.astype(out_dtypes[row])
+            return
+
+        if fold > 1:
+            # per-sublane-plane lowering: each s-slice looks exactly like an
+            # unfolded 2D block of blkC long-elements, so the Rep machinery
+            # runs unchanged (MXU dots keep K on sublanes, no relayouts of
+            # full blocks — only the slice extraction itself)
+            slices = {
+                s: {name: (blk[..., s, :]
+                           if grid_ix in stored_idx[name] else blk)
+                    for name, blk in blocks.items()}
+                for s in range(fold)}
+            caches = {s: ({}, {}) for s in range(fold)}
+            for row in range(n_rows):
+                if grid_ix in out_idx:
+                    for s in range(fold):
+                        rep_cache, step_cache = caches[s]
+                        res = row_result(row, rep_cache, step_cache,
+                                         slices[s])
+                        _store_rep(row, out_refs, res, s)
+                else:
+                    # grid axis contracted: sum the per-plane results
+                    total = None
+                    for s in range(fold):
+                        rep_cache, step_cache = caches[s]
+                        res = row_result(row, rep_cache, step_cache,
+                                         slices[s])
+                        if total is None:
+                            total = res
+                        else:
+                            total = Rep(total.small, total.big,
+                                        {k: total.data[k] + res.data[k]
+                                         for k in total.data})
+                    _store_rep(row, out_refs, total, None)
+            return
+
         rep_cache: dict = {}
         step_cache: dict = {}
         for row in range(n_rows):
             res = row_result(row, rep_cache, step_cache, blocks)
-            # store every unrolled slice of the result Rep
-            for key, val in res.data.items():
-                combo = dict(zip(res.small, key))
-                idx = tuple(combo[l] if l in res.small else slice(None)
-                            for l in out_idx)
-                # value dims follow res.big; match the output's big-axis order
-                out_big = tuple(l for l in out_idx if l not in res.small)
-                if len(res.big) == 2 and tuple(res.big) != out_big:
-                    val = val.swapaxes(0, 1)
-                val = val.astype(out_dtypes[row])
-                if long_is_contracted and grid[0] > 1:
-                    @pl.when(pl.program_id(0) == 0)
-                    def _init(row=row, idx=idx, val=val):
-                        out_refs[row][idx] = val
-
-                    @pl.when(pl.program_id(0) > 0)
-                    def _acc(row=row, idx=idx, val=val):
-                        out_refs[row][idx] = out_refs[row][idx] + val
-                else:
-                    out_refs[row][idx] = val
+            _store_rep(row, out_refs, res, None)
 
     interpret = desc.interpret
     if interpret is None:

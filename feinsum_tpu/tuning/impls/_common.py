@@ -36,11 +36,13 @@ def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000
 
 def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          parallel_grid: bool = True, dofmajor: bool = False,
-                         **desc) -> object:
+                         fold: bool = False, **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
     contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
     rotates long axes onto the dense lane dimension (~3x HBM throughput for
-    short-dof operands, see ops/layouts.py)."""
+    short-dof operands, see ops/layouts.py); *fold* additionally stores the
+    long axis as (8, E/8) so short-dof arrays tile HBM exactly (no 35->40
+    sublane padding; +15% streaming, scripts/tpu_fold_probe*.py)."""
     e = program.einsum
     guard_vmem(e, block_long)
     schedule = (get_opt_einsum_contraction_schedule(e) if hoist
@@ -50,6 +52,12 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
         layouts, out_perm = dofmajor_layouts(e)
         desc["arg_layouts"] = layouts
         desc["out_layout"] = out_perm
+    if fold:
+        if not dofmajor:
+            raise InvalidParameterError(
+                "fold requires dofmajor (the long axis must be stored"
+                " trailing)")
+        desc["fold_long"] = 8
     return program.copy(schedule=schedule).with_descriptor(
         backend="pallas",
         block_long=block_long,

@@ -18,12 +18,14 @@ from feinsum_tpu.tuning.impls._common import fused_pallas_program
 
 @transform_param("log2_block", lambda e: IntParameter(8, 14))
 @transform_param("dofmajor", lambda e: BoolParameter())
+@transform_param("fold", lambda e: BoolParameter())
 @transform_param("hoist", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
-def transform(program, log2_block, dofmajor, hoist, parallel_grid):
+def transform(program, log2_block, dofmajor, hoist, parallel_grid,
+              fold=False):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=hoist,
-        parallel_grid=parallel_grid, dofmajor=dofmajor)
+        parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold)
 
 
 if __name__ == "__main__":

@@ -13,12 +13,15 @@ from feinsum_tpu.tuning.impls._common import fused_pallas_program
 
 @transform_param("log2_block", lambda e: IntParameter(8, 16))
 @transform_param("dofmajor", lambda e: BoolParameter())
+@transform_param("fold", lambda e: BoolParameter())
 @transform_param("flatten", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
-def transform(program, log2_block, dofmajor, flatten, parallel_grid):
+def transform(program, log2_block, dofmajor, flatten, parallel_grid,
+              fold=False):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=False,
-        parallel_grid=parallel_grid, dofmajor=dofmajor, flatten=flatten)
+        parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold,
+        flatten=flatten)
 
 
 if __name__ == "__main__":

@@ -14,11 +14,12 @@ from feinsum_tpu.tuning.impls._common import fused_pallas_program
 
 @transform_param("log2_block", lambda e: IntParameter(8, 15))
 @transform_param("dofmajor", lambda e: BoolParameter())
+@transform_param("fold", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
-def transform(program, log2_block, dofmajor, parallel_grid):
+def transform(program, log2_block, dofmajor, parallel_grid, fold=False):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=False,
-        parallel_grid=parallel_grid, dofmajor=dofmajor)
+        parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,201 @@
+"""Native precision="bfloat16_3x" (3-pass, in-pipeline) in Mosaic kernels,
+and per-sublane extraction (III) for folded MXU steps.
+
+  mv35/mv20: base & fold-III, HIGHEST vs native-3x
+  div (K-folded archived schedule, b=3): base & fold-III, HIGHEST vs native-3x
+"""
+import functools
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+E = 1 << 20
+C = E // 8
+ND = 35
+
+CP = functools.partial(pltpu.CompilerParams,
+                       dimension_semantics=("parallel",),
+                       vmem_limit_bytes=100 * 1024 * 1024)
+
+PRECS = {"HIGHEST": jax.lax.Precision.HIGHEST, "n3x": "bfloat16_3x"}
+
+
+def timeit_fn(fn, *arrays):
+    @jax.jit
+    def run(args, k):
+        def body(_, carry):
+            args, acc = carry
+            out = fn(*args)
+            probe = out.ravel()[0].astype(jnp.float32)
+            acc = acc * 0.5 + probe
+            eps = (acc * jnp.asarray(1e-45, jnp.float32)).astype(
+                args[0].dtype)
+            a0 = args[0].at[(0,) * args[0].ndim].add(eps)
+            return (a0,) + tuple(args[1:]), acc
+        args, acc = jax.lax.fori_loop(0, k, body, (args, jnp.float32(0)))
+        return acc + fn(*args).ravel()[0].astype(jnp.float32)
+
+    def timed(k, reps=3):
+        vals = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(arrays, k))
+            vals.append(time.perf_counter() - t0)
+        return sorted(vals)[len(vals) // 2]
+
+    _ = float(run(arrays, 1))
+    t1 = timed(8)
+    k2 = 64
+    while k2 < 100_000:
+        t2 = timed(k2, reps=1)
+        if t2 - t1 > 0.6:
+            break
+        per = max((t2 - t1) / (k2 - 8), 1e-7)
+        k2 = min(100_000, max(2 * k2, 8 + int(0.6 / per)))
+    t2 = timed(k2)
+    return max((t2 - t1) / (k2 - 8), 1e-9)
+
+
+def bench(label, fn, arrays, gb):
+    try:
+        dt = timeit_fn(fn, *arrays)
+        print(f"{label}: {gb/dt:5.0f} GB/s ({dt*1e6:7.1f} us)", flush=True)
+    except Exception as ex:
+        print(f"{label}: FAILED {str(ex)[:180]}", flush=True)
+
+
+# ---- matvec: base vs fold-III
+for ND_ in (20, 35):
+    D = jnp.ones((ND_, ND_), jnp.float32)
+    u2 = jnp.ones((ND_, E), jnp.float32)
+    u3 = jnp.ones((ND_, 8, C), jnp.float32)
+    GBm = (E * ND_ * 2 * 4) / 1e9
+    blk = 32768
+    blkC = blk // 8
+    for pname, prec in PRECS.items():
+        def base_k(d, u, o, prec=prec):
+            o[...] = jax.lax.dot_general(
+                d[...], u[...], (((1,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=jnp.float32)
+        base = pl.pallas_call(
+            base_k, grid=(E // blk,),
+            in_specs=[pl.BlockSpec((ND_, ND_), lambda g: (0, 0)),
+                      pl.BlockSpec((ND_, blk), lambda g: (0, g))],
+            out_specs=pl.BlockSpec((ND_, blk), lambda g: (0, g)),
+            out_shape=jax.ShapeDtypeStruct((ND_, E), jnp.float32),
+            compiler_params=CP())
+        bench(f"mv{ND_} base {pname:7}", base, (D, u2), GBm)
+
+        def f3_k(d, u, o, prec=prec):
+            dd = d[...]
+            for s in range(8):
+                o[:, s, :] = jax.lax.dot_general(
+                    dd, u[:, s, :], (((1,), (0,)), ((), ())),
+                    precision=prec, preferred_element_type=jnp.float32)
+        f3 = pl.pallas_call(
+            f3_k, grid=(C // blkC,),
+            in_specs=[pl.BlockSpec((ND_, ND_), lambda g: (0, 0)),
+                      pl.BlockSpec((ND_, 8, blkC), lambda g: (0, 0, g))],
+            out_specs=pl.BlockSpec((ND_, 8, blkC), lambda g: (0, 0, g)),
+            out_shape=jax.ShapeDtypeStruct((ND_, 8, C), jnp.float32),
+            compiler_params=CP())
+        bench(f"mv{ND_} fIII {pname:7}", f3, (D, u3), GBm)
+
+
+# ---- div: archived K-folded schedule, b=3 rows
+blk = 8192
+blkC = blk // 8
+R = jnp.ones((3, ND, ND), jnp.float32)
+GBd = 3 * (E * (ND + 3 + ND) * 4) / 1e9
+
+
+def rowcore(Rcat, u, J, prec):
+    tmp = jnp.concatenate([u * J[s, :][None, :] for s in range(3)], axis=0)
+    return jax.lax.dot_general(
+        Rcat, tmp, (((1,), (0,)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+
+
+def make_div_base(prec):
+    def kern(r_ref, jx, ux, jy, uy, jz, uz, ox, oy, oz):
+        Rcat = jnp.concatenate([r_ref[s] for s in range(3)], axis=1)
+        for (j, u, o) in ((jx, ux, ox), (jy, uy, oy), (jz, uz, oz)):
+            o[...] = rowcore(Rcat, u[...], j[...], prec)
+    sJ = pl.BlockSpec((3, blk), lambda g: (0, g))
+    sU = pl.BlockSpec((ND, blk), lambda g: (0, g))
+    return pl.pallas_call(
+        kern, grid=(E // blk,),
+        in_specs=[pl.BlockSpec((3, ND, ND), lambda g: (0, 0, 0)),
+                  sJ, sU, sJ, sU, sJ, sU],
+        out_specs=(sU, sU, sU),
+        out_shape=tuple(jax.ShapeDtypeStruct((ND, E), jnp.float32)
+                        for _ in range(3)),
+        compiler_params=CP())
+
+
+def make_div_fIII(prec):
+    def kern(r_ref, jx, ux, jy, uy, jz, uz, ox, oy, oz):
+        Rcat = jnp.concatenate([r_ref[s] for s in range(3)], axis=1)
+        for (j, u, o) in ((jx, ux, ox), (jy, uy, oy), (jz, uz, oz)):
+            for s in range(8):
+                o[:, s, :] = rowcore(Rcat, u[:, s, :], j[:, s, :], prec)
+    sJ = pl.BlockSpec((3, 8, blkC), lambda g: (0, 0, g))
+    sU = pl.BlockSpec((ND, 8, blkC), lambda g: (0, 0, g))
+    return pl.pallas_call(
+        kern, grid=(C // blkC,),
+        in_specs=[pl.BlockSpec((3, ND, ND), lambda g: (0, 0, 0)),
+                  sJ, sU, sJ, sU, sJ, sU],
+        out_specs=(sU, sU, sU),
+        out_shape=tuple(jax.ShapeDtypeStruct((ND, 8, C), jnp.float32)
+                        for _ in range(3)),
+        compiler_params=CP())
+
+
+u2s = [jnp.ones((ND, E), jnp.float32) for _ in range(3)]
+J2s = [jnp.ones((3, E), jnp.float32) for _ in range(3)]
+u3s = [jnp.ones((ND, 8, C), jnp.float32) for _ in range(3)]
+J3s = [jnp.ones((3, 8, C), jnp.float32) for _ in range(3)]
+
+for pname, prec in PRECS.items():
+    fn = make_div_base(prec)
+    bench(f"div base {pname:7}", lambda *a, fn=fn: fn(*a)[0],
+          (R, J2s[0], u2s[0], J2s[1], u2s[1], J2s[2], u2s[2]), GBd)
+    fn = make_div_fIII(prec)
+    bench(f"div fIII {pname:7}", lambda *a, fn=fn: fn(*a)[0],
+          (R, J3s[0], u3s[0], J3s[1], u3s[1], J3s[2], u3s[2]), GBd)
+
+# native-3x accuracy on TPU
+rng = np.random.default_rng(0)
+Dv = jnp.asarray(rng.standard_normal((ND, ND)), jnp.float32)
+uv = jnp.asarray(rng.standard_normal((ND, E)), jnp.float32)
+
+
+def acc_k(d, u, o):
+    o[...] = jax.lax.dot_general(d[...], u[...], (((1,), (0,)), ((), ())),
+                                 precision="bfloat16_3x",
+                                 preferred_element_type=jnp.float32)
+
+
+try:
+    call = pl.pallas_call(
+        acc_k, grid=(E // 8192,),
+        in_specs=[pl.BlockSpec((ND, ND), lambda g: (0, 0)),
+                  pl.BlockSpec((ND, 8192), lambda g: (0, g))],
+        out_specs=pl.BlockSpec((ND, 8192), lambda g: (0, g)),
+        out_shape=jax.ShapeDtypeStruct((ND, E), jnp.float32),
+        compiler_params=CP())
+    got = np.asarray(call(Dv, uv))
+    ref = np.einsum("ij,je->ie", np.asarray(Dv, np.float64),
+                    np.asarray(uv, np.float64))
+    print(f"native 3x rel err: {np.abs(got-ref).max()/np.abs(ref).max():.2e}",
+          flush=True)
+except Exception as ex:
+    print(f"native 3x accuracy FAILED: {str(ex)[:150]}", flush=True)
+print("DONE", flush=True)
