@@ -267,12 +267,31 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
     seen: set = set()
     results: list = []   # (runtime, params)
 
+    # parameters the space grew after old facts were recorded replay with
+    # the transform signature's defaults — backfill so old rows still seed
+    # and dedup (the reference instead bumps the impl version; we keep one
+    # file per family and evolve the space compatibly)
+    import inspect
+    sig_defaults = {
+        k: p.default for k, p in inspect.signature(
+            transform_space.fn).parameters.items()
+        if p.default is not inspect.Parameter.empty}
+
+    def _complete(params: dict) -> Optional[dict]:
+        missing = set(space) - set(params)
+        if missing and not missing <= set(sig_defaults):
+            return None
+        full = dict(params)
+        for k in missing:
+            full[k] = sig_defaults[k]
+        return full if validate_params_in_space(space, full) else None
+
     # seed with prior DB facts for this einsum/device
     for qinfo in sql_utils.query(einsum, device, db_path=db_path,
                                  err_if_no_results=False):
-        if qinfo.transform_id == transform_id and validate_params_in_space(
-                space, dict(qinfo.transform_params)):
-            params = dict(qinfo.transform_params)
+        params = (_complete(dict(qinfo.transform_params))
+                  if qinfo.transform_id == transform_id else None)
+        if params is not None:
             seen.add(_freeze(params))
             results.append((qinfo.runtime_in_sec, params))
             logger.info("DB seed: %s -> %.3es", params,

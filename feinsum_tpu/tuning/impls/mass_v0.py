@@ -12,7 +12,7 @@ from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
 from feinsum_tpu.tuning.impls._common import fused_pallas_program
 
 
-@transform_param("log2_block", lambda e: IntParameter(8, 15))
+@transform_param("log2_block", lambda e: IntParameter(8, 16))
 @transform_param("dofmajor", lambda e: BoolParameter())
 @transform_param("fold", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())

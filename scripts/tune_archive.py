@@ -50,7 +50,7 @@ SUITE.append(("mass_v0", matvec))
 
 copy2 = f.einsum("ij,ij->ij", f.array("A", ("E", NDOF), "float32"),
                  f.array("B", ("E", NDOF), "float32"))
-SUITE.append(("elementwise_v0", copy2))
+SUITE.append(("elementwise_v1", copy2))
 
 if __name__ == "__main__":
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 600.0
@@ -63,16 +63,20 @@ if __name__ == "__main__":
         t0 = time.time()
         seeds = []
         if impl in ("dg_div_v0", "dg_grad_v0", "face_mass_v0"):
-            for lb in (13, 14):
+            for lb, fold in ((13, False), (14, False), (15, True),
+                             (16, True)):
                 seeds.append({"log2_block": lb, "hoist": True,
-                              "parallel_grid": True, "dofmajor": True})
+                              "parallel_grid": True, "dofmajor": True,
+                              "fold": fold})
         elif impl == "mass_v0":
-            for lb in (13, 14):
+            for lb, fold in ((14, False), (15, True), (16, True)):
                 seeds.append({"log2_block": lb, "parallel_grid": True,
-                              "dofmajor": True})
-        elif impl == "elementwise_v0":
-            seeds.append({"log2_block": 13, "parallel_grid": True,
-                          "flatten": False})
+                              "dofmajor": True, "fold": fold})
+        elif impl == "elementwise_v1":
+            for lb, fold in ((14, False), (15, True), (16, True)):
+                seeds.append({"log2_block": lb, "parallel_grid": True,
+                              "dofmajor": True, "fold": fold,
+                              "flatten": False})
         try:
             autotune(einsum, impl, db_path=sql_utils.DEFAULT_DB,
                      long_dim_length=E_TUNE, stop_after=budget,
