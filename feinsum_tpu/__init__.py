@@ -11,6 +11,7 @@ reporting against TPU MXU-peak / HBM-bandwidth tables.
 
 from .algebraic import (
     extract_multiplicative_terms_in_sum_reduction_as_subst,
+    hoist_cses,
     hoist_invariant_multiplicative_terms_in_sum_reduction,
 )
 from .canonicalization import (
@@ -53,8 +54,10 @@ from .make_einsum import array, batched_einsum, einsum
 from .matching import (
     abstract_long_axes,
     get_a_matched_einsum,
+    get_call_ids,
     identify_as_einsum,
     match_fn_to_einsum,
+    match_t_unit_to_einsum,
 )
 from .measure import (
     get_giga_op_map,
@@ -65,17 +68,33 @@ from .measure import (
     timeit,
     validate_batched_einsum_transform,
 )
-from .sql_utils import DEFAULT_DB, query, record_facts, retrieve
-from .tuning import autotune
+from .sql_utils import (
+    DEFAULT_DB,
+    get_timed_einsums_in_db,
+    query,
+    record_facts,
+    record_into_db,
+    retrieve,
+)
+from .tuning import (
+    BoolParameter,
+    IntParameter,
+    ParametrizedTransform,
+    TupleParameter,
+    autotune,
+    einsum_arg,
+    transform_param,
+)
 from .utils import IndexNameGenerator, get_tccg_benchmark
 
 __version__ = "0.1.0"
 
 __all__ = (
-    "DEFAULT_DB",
     "Array",
     "BatchedEinsum",
+    "BoolParameter",
     "ContractionSchedule",
+    "DEFAULT_DB",
     "EinsumAxisAccess",
     "EinsumMatchError",
     "EinsumOperand",
@@ -85,14 +104,17 @@ __all__ = (
     "FakeDevice",
     "FreeAxis",
     "IndexNameGenerator",
+    "IntParameter",
     "IntermediateResult",
     "InvalidParameterError",
     "NoDevicePeaksInfoError",
     "NoFactInDatabaseError",
+    "ParametrizedTransform",
     "ScheduleDescriptor",
     "SizeParam",
     "SummationAxis",
     "TransformValidationError",
+    "TupleParameter",
     "abstract_long_axes",
     "array",
     "autotune",
@@ -100,26 +122,33 @@ __all__ = (
     "build_executable",
     "canonicalize_einsum",
     "einsum",
+    "einsum_arg",
     "enable_persistent_compilation_cache",
     "extract_multiplicative_terms_in_sum_reduction_as_subst",
     "generate_program",
     "generate_program_with_opt_einsum_schedule",
     "get_a_matched_einsum",
+    "get_call_ids",
     "get_footprint_gbytes",
     "get_giga_op_map",
     "get_opt_einsum_contraction_schedule",
     "get_roofline_flop_rate",
     "get_substitution_mapping_between_isomorphic_batched_einsums",
     "get_tccg_benchmark",
+    "get_timed_einsums_in_db",
     "get_trivial_contraction_schedule",
+    "hoist_cses",
     "hoist_invariant_multiplicative_terms_in_sum_reduction",
     "identify_as_einsum",
     "match_fn_to_einsum",
+    "match_t_unit_to_einsum",
     "measure_giga_op_rate",
     "query",
     "record_facts",
+    "record_into_db",
     "retrieve",
     "stringify_comparison_vs_roofline",
     "timeit",
+    "transform_param",
     "validate_batched_einsum_transform",
 )

@@ -89,3 +89,33 @@ def hoist_invariant_multiplicative_terms_in_sum_reduction(
             program, invariant_positions)
     return program.copy(
         schedule=get_opt_einsum_contraction_schedule(program.einsum))
+
+def hoist_cses(program: EinsumProgram) -> EinsumProgram:
+    """Deduplicate identical schedule steps so each distinct computation runs
+    once and later steps reference the first occurrence (parity: reference
+    ``hoist_cses``, cse.py:307-448 — there a DAG walk over loopy expressions;
+    here steps *are* the DAG nodes).  The Pallas emitter additionally CSEs
+    identical steps across batch rows inside the kernel at lowering time."""
+    sched = program.schedule
+    seen: dict = {}
+    alias: dict = {}
+    subscripts, result_names, arguments = [], [], []
+    for subs, name, step_args in zip(sched.subscripts, sched.result_names,
+                                     sched.arguments):
+        resolved = tuple(
+            IntermediateResult(alias.get(a.name, a.name))
+            if isinstance(a, IntermediateResult) else a
+            for a in step_args)
+        key = (subs, resolved)
+        if key in seen and name != "_fe_out":
+            alias[name] = seen[key]
+            continue
+        seen.setdefault(key, name)
+        subscripts.append(subs)
+        result_names.append(name)
+        arguments.append(resolved)
+    if len(subscripts) == sched.nsteps:
+        return program
+    return program.copy(schedule=ContractionSchedule(
+        subscripts=tuple(subscripts), result_names=tuple(result_names),
+        arguments=tuple(arguments)))

@@ -280,8 +280,19 @@ def match_fn_to_einsum(fn: Callable, example_args: Sequence,
         ref_einsum, matched)
 
 
-# reference-compatible alias (loopy_utils/__init__.py:509)
+# reference-compatible aliases (loopy_utils/__init__.py:509 and :471 — the
+# "translation unit" here is a traceable callable + example args)
 identify_as_einsum = get_a_matched_einsum
+match_t_unit_to_einsum = match_fn_to_einsum
+
+
+def get_call_ids(fn: Callable, example_args: Sequence) -> frozenset:
+    """The operand names a matched callable consumes (parity: reference
+    ``get_call_ids``, loopy_utils/__init__.py:552 — there: the substitution-
+    call identifiers in a kernel's expressions; here: the traced function's
+    matched array-argument names)."""
+    einsum, name_map = get_a_matched_einsum(fn, example_args)
+    return frozenset(name_map)
 
 
 def abstract_long_axes(einsum: BatchedEinsum, *,
