@@ -241,6 +241,13 @@ def build_pallas_executable(program, index_to_length: dict):
     elif fold > 1:
         c_len = lengths[grid_ix] // fold
         blk_c = min(max(desc.block_long // fold, 1), c_len)
+        if blk_c != c_len and blk_c % 128:
+            # Mosaic requires the trailing block dim divisible by the lane
+            # count (128) unless it spans the whole array
+            raise InvalidParameterError(
+                f"fold_long={fold} with block_long={desc.block_long} gives a"
+                f" {blk_c}-lane c-block; must be a multiple of 128 (or cover"
+                f" the whole {c_len}-long axis)")
         block_long = blk_c * fold        # merged in-kernel length
         grid = (pl.cdiv(c_len, blk_c),)
     else:

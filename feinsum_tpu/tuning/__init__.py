@@ -348,6 +348,14 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
                 results.append((float("inf"), params))
                 continue
             raise
+        except Exception as err:  # noqa: BLE001
+            # a point the space's guards didn't anticipate (e.g. a backend
+            # compile rejection) must not abort the whole search: score it
+            # inf and keep exploring, like InvalidParameterError
+            logger.warning("point %s failed (%s: %s)", params,
+                           type(err).__name__, str(err)[:300])
+            results.append((float("inf"), params))
+            continue
         results.append((runtime, params))
         sql_utils.record_facts(
             einsum, transform_id=transform_id, transform_params=params,

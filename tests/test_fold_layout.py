@@ -57,7 +57,7 @@ def test_fold_output_is_stored_folded():
     ens = suite()["matvec"]
 
     def tr(program):
-        return fused_pallas_program(program, block_long=512, hoist=False,
+        return fused_pallas_program(program, block_long=1024, hoist=False,
                                     dofmajor=True, fold=True)
     prog = tr(f.generate_program(ens))
     from feinsum_tpu.measure import _apply_layouts, generate_input_arrays
@@ -137,3 +137,16 @@ def test_fold_tuning_space_point_roundtrips(tmp_path):
     old = space.bind_args(ens, log2_block=10, dofmajor=True,
                           parallel_grid=True)
     f.validate_batched_einsum_transform(ens, old, long_dim_length=4096)
+
+
+def test_fold_guards_tiny_c_blocks():
+    """blkC below a lane (128) and not spanning the axis must raise
+    InvalidParameterError (Mosaic would reject the block shape)."""
+    ens = suite()["matvec"]
+
+    def tr(program):
+        return fused_pallas_program(program, block_long=256, hoist=False,
+                                    dofmajor=True, fold=True)
+    prog = tr(f.generate_program(ens))
+    with pytest.raises(InvalidParameterError):
+        f.build_executable(prog, long_dim_length=8192)
