@@ -22,7 +22,7 @@ logging.basicConfig(level=logging.INFO,
 
 # a representative spread of the 48 TCCG benchmarks: small/large K, matricized
 # tensor products, transpose-heavy cases
-DEFAULT_IDS = (0, 5, 12, 19, 25, 31, 38, 44)
+DEFAULT_IDS = (1, 5, 12, 19, 25, 31, 38, 44)
 
 if __name__ == "__main__":
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0
