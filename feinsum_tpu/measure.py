@@ -285,9 +285,32 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
     names = sorted(arrays)
     smallest = min(names, key=lambda n: arrays[n].size)
 
-    def body(_, carry):
+    # small working sets fit VMEM (128 MB): XLA pins loop-invariant inputs
+    # there across the chained iterations and the loop measures VMEM — not
+    # HBM — bandwidth.  Rotate among stacked copies of every input so each
+    # iteration's reads must come from HBM (concrete-shape einsums like the
+    # TCCG suite hit this; the parametric DG suite at E=1M never does).
+    ws_bytes = sum(int(a.size) * a.dtype.itemsize for a in arrays.values())
+    n_copies = 1
+    if ws_bytes < 192 * 1024 * 1024:
+        n_copies = min(64, -(-320 * 1024 * 1024 // max(ws_bytes, 1)))
+
+    if n_copies > 1:
+        stacked = {name: jnp.stack([arr] * n_copies)
+                   for name, arr in arrays.items()}
+    else:
+        stacked = arrays
+
+    def _select(arrs, i):
+        if n_copies == 1:
+            return arrs
+        return {name: jax.lax.dynamic_index_in_dim(
+                    stk, i % n_copies, 0, keepdims=False)
+                for name, stk in arrs.items()}
+
+    def body(i, carry):
         arrs, acc = carry
-        outs = fn(arrs)
+        outs = fn(_select(arrs, i))
         # one element of the output feeds the accumulator: the call cannot be
         # dead-code-eliminated, and reading 4 bytes adds no HBM traffic
         probe = outs[0].ravel()[0].astype(jnp.float32)
@@ -297,7 +320,7 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
         eps = (acc * jnp.asarray(1e-45, jnp.float32)).astype(
             arrs[smallest].dtype)
         pert = dict(arrs)
-        flat_idx = (0,) * arrays[smallest].ndim
+        flat_idx = (0,) * pert[smallest].ndim
         pert[smallest] = arrs[smallest].at[flat_idx].add(eps)
         return pert, acc
 
@@ -306,18 +329,18 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
         # dynamic trip count: one compilation serves every k
         arrs, acc = jax.lax.fori_loop(0, k, body, (arrs, jnp.float32(0)),
                                       unroll=False)
-        outs = fn(arrs)
+        outs = fn(_select(arrs, jnp.int32(0)))
         return acc + outs[0].ravel()[0].astype(jnp.float32)
 
     def timed(k, reps=3):
         vals = []
         for _i in range(reps):
             t0 = time.perf_counter()
-            _ = float(run(arrays, k))
+            _ = float(run(stacked, k))
             vals.append(time.perf_counter() - t0)
         return sorted(vals)[len(vals) // 2]
 
-    _ = float(run(arrays, 1))   # warm / compile
+    _ = float(run(stacked, 1))   # warm / compile
     k1 = 8
     t1 = timed(k1)
     k2 = 64
