@@ -52,6 +52,13 @@ copy2 = f.einsum("ij,ij->ij", f.array("A", ("E", NDOF), "float32"),
                  f.array("B", ("E", NDOF), "float32"))
 SUITE.append(("elementwise_v1", copy2))
 
+rowsum = f.einsum("ij->i", f.array("A", ("E", NDOF), "float32"))
+SUITE.append(("mass_v0", rowsum))
+
+vecmat = f.einsum("ij,j->i", f.array("A", ("E", NDOF), "float32"),
+                  f.array("x", (NDOF,), "float32"))
+SUITE.append(("mass_v0", vecmat))
+
 if __name__ == "__main__":
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 600.0
     only = sys.argv[2] if len(sys.argv) > 2 else None
