@@ -18,7 +18,7 @@ from feinsum_tpu.contraction_schedule import (
 from feinsum_tpu.diagnostics import InvalidParameterError
 from feinsum_tpu.tuning import BoolParameter, IntParameter, einsum_arg, transform_param
 
-_PRECISIONS = ("default", "highest")
+_PRECISIONS = ("default", "highest", "bf16_3x")
 
 
 def _is_tensor_contraction(einsum) -> bool:

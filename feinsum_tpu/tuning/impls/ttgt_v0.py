@@ -18,7 +18,7 @@ from feinsum_tpu.contraction_schedule import get_trivial_contraction_schedule
 from feinsum_tpu.diagnostics import InvalidParameterError
 from feinsum_tpu.tuning import IntParameter, einsum_arg, transform_param
 
-_PRECISIONS = ("default", "highest")
+_PRECISIONS = ("default", "highest", "bf16_3x")
 
 
 def _n_perms(ndim: int) -> int:

@@ -158,3 +158,32 @@ def test_autotune_smoke(tmp_path):
     assert len(qs2) >= len(qs)
     params_seen = {q.transform_params for q in qs2}
     assert len(params_seen) == len(qs2), "duplicate configs re-measured"
+
+
+def test_migrate_from_reference_v6(tmp_path):
+    """The migration tool reconstructs einsum classes from a reference-format
+    archive (SizeParam axes come back parametric) and maps them to TPU
+    schedule spaces."""
+    import subprocess
+    import sys
+
+    import feinsum_tpu as f
+    from feinsum_tpu import sql_utils
+
+    src = str(tmp_path / "ref_v6.sqlite")
+    e1 = f.einsum("xre,rij,ej->xei",
+                  f.array("a", (3, 3, "E"), "float32"),
+                  f.array("b", (3, 35, 35), "float32"),
+                  f.array("c", ("E", 35), "float32"))
+    e2 = f.get_tccg_benchmark(5, dtype="float32")
+    for e in (e1, e2):
+        sql_utils.record_facts(e, transform_id="xre_rij_ej_to_xei.py",
+                               transform_params={"n_e_per_wg": 8},
+                               runtime_in_sec=1e-3, db_path=src,
+                               long_dim_length=1000)
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "feinsum_tpu.data.bin.migrate_from_reference_v6",
+         "--src", src, "--dst", str(tmp_path / "out.sqlite")],
+        capture_output=True, text=True, check=True)
+    assert "2 einsum classes migrated, 0 skipped" in r.stdout, r.stdout
