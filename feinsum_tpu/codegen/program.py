@@ -87,17 +87,23 @@ def output_dtype(einsum: BatchedEinsum, row: int) -> np.dtype:
     return np.result_type(*[arg.dtype for arg in einsum.args[row]])
 
 
-def _precision(name: str):
+def _precision(name: str, eff_itemsize: int = 4):
+    """Map a descriptor precision name to a jax dot precision.  "default" on
+    >=32-bit floats resolves to HIGHEST — the same safe default as the
+    Pallas emitter — because a plain f32 dot lowers to a 1-pass bf16 MXU
+    pass on TPU and fails the validation oracle.  "fastest" keeps the
+    single-pass path."""
     import jax
     lowered = (name or "default").lower()
-    if lowered in ("default", "none"):
+    if lowered == "default":
+        return (jax.lax.Precision.HIGHEST if eff_itemsize >= 4 else None)
+    if lowered in ("none", "fastest"):
         return None
     if lowered in ("high", "highest"):
         return getattr(jax.lax.Precision, lowered.upper())
     if lowered == "bf16_3x":
-        # Same descriptor vocabulary as the Pallas emitter: a 3-pass
-        # split-bfloat16 dot that passes the f32 validation oracle on TPU
-        # (plain f32 "default" lowers to 1-pass bf16 there and fails it).
+        # same descriptor vocabulary as the Pallas emitter: a 3-pass
+        # split-bfloat16 dot (XLA runs it natively in the MXU pipeline)
         return "bfloat16_3x"
     return name  # dot-algorithm preset string, passed through
 
@@ -133,7 +139,10 @@ def _xla_row_fn(program: EinsumProgram, row: int, arrays_by_name: dict):
 
     e = program.einsum
     desc = program.descriptor
-    prec = _precision(desc.precision)
+    eff_itemsize = (jnp.dtype(desc.compute_dtype).itemsize
+                    if desc.compute_dtype is not None
+                    else max(dt.itemsize for dt in e.arg_to_dtype.values()))
+    prec = _precision(desc.precision, eff_itemsize)
     accum = (jnp.dtype(desc.accum_dtype).type
              if desc.accum_dtype is not None else None)
 
