@@ -311,6 +311,12 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
     def body(i, carry):
         arrs, acc = carry
         outs = fn(_select(arrs, i))
+        # the barrier forces every output to fully materialize: without it,
+        # XLA sinks the one-element probe slice THROUGH a plain-HLO dot and
+        # the whole iteration shrinks to a vector dot (observed on TCCG
+        # GEMMs via the XLA backend — 61 PFlop/s "measurements"; Pallas
+        # calls are opaque and were never affected)
+        outs = jax.lax.optimization_barrier(tuple(outs))
         # one element of the output feeds the accumulator: the call cannot be
         # dead-code-eliminated, and reading 4 bytes adds no HBM traffic
         probe = outs[0].ravel()[0].astype(jnp.float32)
@@ -329,7 +335,8 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
         # dynamic trip count: one compilation serves every k
         arrs, acc = jax.lax.fori_loop(0, k, body, (arrs, jnp.float32(0)),
                                       unroll=False)
-        outs = fn(_select(arrs, jnp.int32(0)))
+        outs = jax.lax.optimization_barrier(
+            tuple(fn(_select(arrs, jnp.int32(0)))))
         return acc + outs[0].ravel()[0].astype(jnp.float32)
 
     def timed(k, reps=3):
