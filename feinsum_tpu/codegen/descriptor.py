@@ -65,6 +65,16 @@ class ScheduleDescriptor:
     # dof-major storage (the long axis trailing on every operand/output that
     # carries it) and E % fold_long == 0.
     fold_long: int = 1
+    # store the named args pre-blocked tile-exactly: (nb, *small_axes, 8,
+    # blk_c) — block g holds elements [g*B, (g+1)*B) laid out (8, blk_c)
+    # row-major, so arrays whose non-long axes are tiny (DG Jacobians (3,E):
+    # 3 sublanes pad to 8 = 2.67x DMA waste) stream with zero padding.  The
+    # in-kernel cost is one J-sized reshape (fold_long==1) or nothing (the
+    # folded per-plane slice comes straight off the pre-blocked block).
+    # Unlike fold_long this composes with unfolded streaming of the big
+    # operands, because each pre-blocked block covers the same contiguous
+    # element range as the unfolded blocks.
+    preblock_args: tuple = ()
     precision: str = "default"
     dimension_semantics: str = "arbitrary"
     vmem_limit_bytes: Optional[int] = None

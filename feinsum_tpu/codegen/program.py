@@ -213,6 +213,11 @@ def _build_executable_cached(program: EinsumProgram, lengths_key: tuple):
         from ..ops.pallas_emitter import build_pallas_executable
         return build_pallas_executable(program, dict(lengths_key))
 
+    if getattr(program.descriptor, "preblock_args", ()):
+        from ..diagnostics import InvalidParameterError
+        raise InvalidParameterError(
+            "preblock_args requires the pallas backend")
+
     def fn(arrays_by_name: dict):
         logical = _logical_arrays(program, arrays_by_name)
         return tuple(_xla_row_fn(program, r, logical)

@@ -94,13 +94,13 @@ def generate_input_arrays(einsum: BatchedEinsum, *, long_dim_length: int,
 
 
 def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
-    from .ops.layouts import fold_arrays
+    from .ops.layouts import fold_arrays, preblock_arrays
 
     layouts = program.descriptor.arg_layouts_map
     out = dict(arrays)
     for name, perm in layouts.items():
         out[name] = out[name].transpose(tuple(int(p) for p in perm))
-    return fold_arrays(program, out)
+    return preblock_arrays(program, fold_arrays(program, out))
 
 # }}}
 
@@ -461,14 +461,20 @@ def get_roofline_flop_rate(einsum: BatchedEinsum, device_name: str, *,
 
 def stringify_comparison_vs_roofline(
         einsum: BatchedEinsum, *, device_name: Optional[str] = None,
+        device=None,
         transform: Optional[TransformT] = None,
         long_dim_length: int = 100_000,
         ignore_unknown_device: bool = False,
         **timeit_kwargs) -> str:
     """Tabulated measured-vs-roofline comparison (parity: reference
-    measure.py:484-525)."""
+    measure.py:484-525).  ``device`` accepts anything with a ``.name`` /
+    ``.device_kind`` (e.g. :class:`~feinsum_tpu.FakeDevice`), mirroring the
+    reference's ``cl_device`` argument; ``device_name`` takes a plain
+    roofline-table key string."""
     from tabulate import tabulate
 
+    if device_name is None and device is not None:
+        device_name = get_device_key(device)
     if device_name is None:
         import jax
         device_name = get_device_key(jax.devices()[0])

@@ -111,6 +111,116 @@ def check_foldable(program) -> str:
     return fold_ix
 
 
+def preblock_names(program) -> tuple:
+    pb = getattr(program.descriptor, "preblock_args", ()) or ()
+    return tuple(pb)
+
+
+def preblock_small_args(einsum, *, max_rows: int = 16) -> tuple:
+    """Arg names worth pre-blocking: they carry the (unique) long axis and
+    their non-long dims multiply to <= *max_rows* sublane rows — i.e. the
+    stored-trailing layout wastes >= 1/3 of their DMA on sublane padding
+    (DG Jacobians (3,E)/(3,3,E), mass jacobians (E,), face flux factors
+    (4,E)).  Big operands (u (35,E)) never qualify: their padding waste is
+    12.5% and the in-kernel repack would cost more than it saves."""
+    long_letters = {ix for ix, ln in einsum.index_to_dim_length.items()
+                    if isinstance(ln, SizeParam)}
+    names = []
+    for row in einsum.args:
+        for arg, idx_set in zip(row, einsum.in_idx_sets):
+            if arg.name in names or not (set(idx_set) & long_letters):
+                continue
+            rows = 1
+            for ix in idx_set:
+                if ix not in long_letters:
+                    rows *= int(einsum.index_to_dim_length[ix])
+            if rows <= max_rows and rows % 8:
+                names.append(arg.name)
+    return tuple(names)
+
+
+PREBLOCK_F = 8
+
+
+def preblock_geometry(block_long: int, length: int, fold: int = 1):
+    """(B, blk_c, nb) for pre-blocked storage of a long axis of *length*:
+    B = elements per block, blk_c = lanes per block, nb = number of blocks.
+    Must agree between the host packer and the kernel's BlockSpecs."""
+    if fold > 1:
+        c_len = length // fold
+        blk_c = min(max(block_long // fold, 1), c_len)
+        return blk_c * fold, blk_c, -(-c_len // blk_c)
+    if block_long % PREBLOCK_F:
+        raise InvalidParameterError(
+            f"preblock_args requires block_long ({block_long}) divisible"
+            f" by {PREBLOCK_F}")
+    B = min(block_long, -(-length // PREBLOCK_F) * PREBLOCK_F)
+    return B, B // PREBLOCK_F, -(-length // B)
+
+
+def preblock_arrays(program, arrays: dict) -> dict:
+    """Repack the descriptor's ``preblock_args`` into tile-exact pre-blocked
+    storage.  Arrays must already be permuted (arg_layouts) and folded
+    (fold_arrays); the long/c axis is trailing.  Zero-pads the tail so the
+    final block is exact (zero factors keep contracted-grid sums exact)."""
+    import numpy as np
+
+    names = preblock_names(program)
+    if not names:
+        return arrays
+    check_preblockable(program)
+    desc = program.descriptor
+    fold = getattr(desc, "fold_long", 1) or 1
+    out = dict(arrays)
+    for name in names:
+        arr = out[name]
+        length = arr.shape[-1] * (fold if fold > 1 else 1)
+        B, blk_c, nb = preblock_geometry(desc.block_long, length, fold)
+        if isinstance(arr, np.ndarray):
+            xp = np
+        else:
+            import jax.numpy as xp
+        c_stored = arr.shape[-1]
+        pad = nb * blk_c - c_stored if fold > 1 else nb * B - c_stored
+        if pad:
+            widths = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
+            arr = xp.pad(arr, widths)
+        if fold > 1:
+            # (*lead, f, c) -> (*lead, f, nb, blk_c) -> (nb, *lead, f, blk_c)
+            arr = arr.reshape(arr.shape[:-1] + (nb, blk_c))
+            arr = xp.moveaxis(arr, -2, 0)
+        else:
+            # (*lead, L) -> (*lead, nb, 8, blk_c) -> (nb, *lead, 8, blk_c)
+            arr = arr.reshape(arr.shape[:-1] + (nb, PREBLOCK_F, blk_c))
+            arr = xp.moveaxis(arr, -3, 0)
+        out[name] = arr
+    return out
+
+
+def check_preblockable(program) -> str:
+    """Validate descriptor.preblock_args; returns the long axis letter.
+    Each named arg must exist and store the long axis trailing."""
+    from .pallas_emitter import _pick_grid_index
+    from ..codegen.program import get_index_lengths
+
+    e = program.einsum
+    lengths = get_index_lengths(e, 100_000)
+    grid_ix = _pick_grid_index(program, lengths)
+    if grid_ix is None:
+        raise InvalidParameterError(
+            "preblock_args requires a long (grid) axis")
+    stored = stored_arg_layouts(program)
+    for name in preblock_names(program):
+        if name not in stored:
+            raise InvalidParameterError(
+                f"preblock_args names unknown arg {name!r}")
+        if grid_ix not in stored[name] or stored[name][-1] != grid_ix:
+            raise InvalidParameterError(
+                f"preblock_args requires the long axis {grid_ix!r} stored"
+                f" trailing on {name!r} (stored layout {stored[name]})")
+    return grid_ix
+
+
 def fold_arrays(program, arrays: dict) -> dict:
     """Reshape every stored-trailing-long operand (..., E) -> (..., f, E/f).
     Arrays must already be in their arg_layouts permutation."""

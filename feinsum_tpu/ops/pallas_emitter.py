@@ -196,6 +196,9 @@ def build_pallas_executable(program, index_to_length: dict):
         if getattr(desc, "fold_long", 1) > 1:
             raise InvalidParameterError(
                 "flatten and fold_long are mutually exclusive")
+        if getattr(desc, "preblock_args", ()):
+            raise InvalidParameterError(
+                "flatten and preblock_args are mutually exclusive")
         flat = _try_build_flat_elementwise(program, lengths)
         if flat is not None:
             return flat
@@ -206,6 +209,14 @@ def build_pallas_executable(program, index_to_length: dict):
     grid_ix = _pick_grid_index(program, lengths)
     arg_idx = _arg_index_sets(e)
     layouts = desc.arg_layouts_map
+
+    # pre-blocked tile-exact storage for small streamed args (see
+    # descriptor.preblock_args / layouts.preblock_arrays)
+    from .layouts import (check_preblockable, preblock_geometry,
+                          preblock_names)
+    pb_names = set(preblock_names(program))
+    if pb_names:
+        check_preblockable(program)
 
     # fold-8 sublane layout: the long axis is stored (f, E/f) so short-dof
     # dof-major arrays tile HBM exactly (no 35->40 sublane padding; measured
@@ -250,6 +261,15 @@ def build_pallas_executable(program, index_to_length: dict):
                 f" the whole {c_len}-long axis)")
         block_long = blk_c * fold        # merged in-kernel length
         grid = (pl.cdiv(c_len, blk_c),)
+    elif pb_names:
+        # pre-blocked args need block_long % 8 == 0 and a grid that matches
+        # their nb leading dim exactly
+        L = lengths[grid_ix]
+        block_long, _pb_blk_c, _pb_nb = preblock_geometry(
+            desc.block_long, L, 1)
+        blk_c = None
+        c_len = None
+        grid = (_pb_nb,)
     else:
         L = lengths[grid_ix]
         block_long = min(desc.block_long, L)
@@ -294,11 +314,24 @@ def build_pallas_executable(program, index_to_length: dict):
             return tuple(out)
         return imap
 
+    pb_f = fold if fold > 1 else 8
+    pb_blk_c = (blk_c if fold > 1
+                else (block_long // 8 if grid_ix is not None else None))
+
+    def in_spec_of(name):
+        if name not in pb_names:
+            return pl.BlockSpec(block_shape_of(stored_idx[name]),
+                                index_map_of(stored_idx[name]))
+        lead = stored_idx[name][:-1]
+        blk = (1,) + tuple(lengths[ix] for ix in lead) + (pb_f, pb_blk_c)
+        nzeros = len(blk) - 1
+
+        def imap(g, nzeros=nzeros):
+            return (g,) + (0,) * nzeros
+        return pl.BlockSpec(blk, imap)
+
     arg_names = sorted(e.all_args)
-    in_specs = [
-        pl.BlockSpec(block_shape_of(stored_idx[name]),
-                     index_map_of(stored_idx[name]))
-        for name in arg_names]
+    in_specs = [in_spec_of(name) for name in arg_names]
 
     out_dtypes = [output_dtype(e, r) for r in range(e.b)]
     # outputs may be stored in a permuted layout (e.g. dof-major (35, E) so
@@ -465,10 +498,23 @@ def build_pallas_executable(program, index_to_length: dict):
                 val = val.swapaxes(0, 1)
             _store(row, out_refs, tuple(idx), val.astype(out_dtypes[row]))
 
+    def _load_block(name, ref):
+        if name not in pb_names:
+            return _mask_tail(name, ref[...])
+        # pre-blocked: (1, *lead, pb_f, blk_c); host zero-padded the tail,
+        # so no mask is needed.  Unfolded kernels see the merged element
+        # axis (a small sublane->lane relayout, arg is tiny by design);
+        # folded kernels consume the per-plane layout directly.
+        raw = ref[...]
+        if fold > 1:
+            return raw[0]
+        lead_shape = raw.shape[1:-2]
+        return raw.reshape(lead_shape + (block_long,))
+
     def kernel(*refs):
         in_refs = refs[:len(arg_names)]
         out_refs = refs[len(arg_names):]
-        blocks = {name: _mask_tail(name, ref[...])
+        blocks = {name: _load_block(name, ref)
                   for name, ref in zip(arg_names, in_refs)}
 
         if fold_elementwise:

@@ -36,7 +36,8 @@ def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000
 
 def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          parallel_grid: bool = True, dofmajor: bool = False,
-                         fold: bool = False, **desc) -> object:
+                         fold: bool = False, preblock: bool = False,
+                         precision_3x: bool = False, **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
     contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
     rotates long axes onto the dense lane dimension (~3x HBM throughput for
@@ -58,6 +59,20 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
                 "fold requires dofmajor (the long axis must be stored"
                 " trailing)")
         desc["fold_long"] = 8
+    if preblock:
+        from feinsum_tpu.ops.layouts import preblock_small_args
+        if not dofmajor:
+            raise InvalidParameterError(
+                "preblock requires dofmajor (the long axis must be stored"
+                " trailing)")
+        names = preblock_small_args(e)
+        if not names:
+            raise InvalidParameterError(
+                "no argument qualifies for preblock (all streamed operands"
+                " have >= 16 or 8-divisible sublane rows)")
+        desc["preblock_args"] = names
+    if precision_3x:
+        desc["precision"] = "bf16_3x"
     return program.copy(schedule=schedule).with_descriptor(
         backend="pallas",
         block_long=block_long,
