@@ -30,11 +30,11 @@ from feinsum_tpu.diagnostics import NoFactInDatabaseError  # noqa: E402
 from feinsum_tpu.ops.layouts import dofmajor_layouts  # noqa: E402
 from feinsum_tpu.measure import (  # noqa: E402
     _apply_layouts,
-    _timeit_in_graph,
     evaluate_giga_op_map,
     generate_input_arrays,
     get_giga_op_map,
     get_roofline_flop_rate,
+    timeit_on_device,
 )
 
 E_BENCH = 1_000_000   # streaming regime: working sets >> VMEM
@@ -129,7 +129,7 @@ def main() -> None:
                 program,
                 generate_input_arrays(einsum, long_dim_length=E_BENCH))
             fn = f.build_executable(program, long_dim_length=E_BENCH)
-            dt = _timeit_in_graph(fn, arrays)
+            dt = timeit_on_device(fn, arrays)
         except Exception as ex:  # noqa: BLE001
             log(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:200]}")
             continue

@@ -268,6 +268,93 @@ def validate_batched_einsum_transform(
 
 # {{{ timing
 
+def _timeit_device_trace(fn, arrays: dict, *, n_iters: int = 30,
+                         _jit_prefix: str = "jit_") -> Optional[float]:
+    """Median seconds per launch read off the DEVICE timeline of a jax
+    profiler trace around *n_iters* back-to-back dispatches.
+
+    This is the honest protocol on this hardware: the device lane records
+    each executable's real span (verified non-overlapping, ~1 us gaps,
+    <0.3% spread), whereas (a) per-launch host timing through the RPC relay
+    is ~26 ms of noise, and (b) the chained in-graph loop OVER-reports some
+    kernels by up to 2x (measured: a compute-free streamer at 1680 us
+    in-graph vs 1037 us on the device lane; a mass-matrix kernel 1029 vs
+    ~505) — the loop's cross-iteration dependencies serialize against the
+    pallas call.  Returns ``None`` when no usable trace is produced (caller
+    falls back to the in-graph protocol)."""
+    import glob
+    import gzip
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import jax
+
+    out = fn(arrays)
+    jax.block_until_ready(out)
+    d = tempfile.mkdtemp(prefix="feinsum_tpu_prof_")
+    try:
+        try:
+            with jax.profiler.trace(d):
+                for _ in range(n_iters):
+                    out = fn(arrays)
+                jax.block_until_ready(out)
+        except Exception:  # noqa: BLE001  (profiler unsupported on backend)
+            return None
+        files = glob.glob(os.path.join(d, "**", "*.trace.json.gz"),
+                          recursive=True)
+        if not files:
+            return None
+        with gzip.open(sorted(files)[-1]) as fh:
+            tr = json.load(fh)
+        evs = tr.get("traceEvents", [])
+        threads = {}
+        device_pids = set()
+        for e in evs:
+            if e.get("ph") != "M":
+                continue
+            if e.get("name") == "process_name" \
+                    and "device:" in str(e.get("args", {}).get("name", "")):
+                device_pids.add(e["pid"])
+            if e.get("name") == "thread_name":
+                threads[(e["pid"], e.get("tid"))] = \
+                    e.get("args", {}).get("name", "")
+        # executable spans on the device's "XLA Modules" lane, grouped by
+        # module name: ours is the group with (close to) n_iters runs
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for e in evs:
+            if e.get("ph") != "X" or e.get("pid") not in device_pids:
+                continue
+            if threads.get((e["pid"], e.get("tid"))) != "XLA Modules":
+                continue
+            groups[e.get("name", "?")].append(float(e.get("dur", 0.0)))
+        best = None
+        for name, durs in groups.items():
+            if len(durs) >= max(3, int(0.8 * n_iters)) \
+                    and name.startswith(_jit_prefix):
+                if best is None or len(durs) > len(best):
+                    best = durs
+        if not best:
+            return None
+        best.sort()
+        return best[len(best) // 2] * 1e-6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def timeit_on_device(fn, arrays: dict) -> float:
+    """Seconds per launch of *fn* on the current accelerator: the device-
+    trace protocol when a usable profiler trace comes back, else the chained
+    in-graph protocol."""
+    dt = _timeit_device_trace(fn, arrays)
+    if dt is not None:
+        return dt
+    logger.info("device-trace timing unavailable; using in-graph protocol")
+    return _timeit_in_graph(fn, arrays)
+
+
 def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
                      max_iters: int = 200_000) -> float:
     """Per-iteration seconds of ``fn`` measured with the whole loop inside one
@@ -374,8 +461,10 @@ def timeit(einsum: BatchedEinsum, *,
     first, then time.  ``method="host"`` follows the reference protocol
     (5 warmups, batches of 5 until >= *min_rounds* rounds and >=
     *min_seconds*; reference measure.py:35-37, 197-275); ``"in_graph"`` chains
-    iterations inside one jit (see :func:`_timeit_in_graph`).  ``"auto"``
-    picks in_graph on TPU (whose dispatch may be remote/async) and host
+    iterations inside one jit (see :func:`_timeit_in_graph`); ``"device"``
+    reads the device timeline of a profiler trace
+    (:func:`_timeit_device_trace`, falling back to in_graph).  ``"auto"``
+    picks device on TPU (whose dispatch is remote/async here) and host
     otherwise."""
     import jax
 
@@ -391,8 +480,10 @@ def timeit(einsum: BatchedEinsum, *,
     fn = build_executable(program, long_dim_length=long_dim_length)
 
     if method == "auto":
-        method = ("in_graph" if jax.devices()[0].platform == "tpu"
+        method = ("device" if jax.devices()[0].platform == "tpu"
                   else "host")
+    if method == "device":
+        return timeit_on_device(fn, arrays)
     if method == "in_graph":
         return _timeit_in_graph(fn, arrays)
 

@@ -70,15 +70,19 @@ if __name__ == "__main__":
         t0 = time.time()
         seeds = []
         if impl in ("dg_div_v0", "dg_grad_v0", "face_mass_v0"):
-            for lb, fold in ((13, False), (14, False), (15, True),
-                             (16, True)):
+            for lb, fold, pb in ((13, False, False), (14, False, False),
+                                 (15, True, False), (13, False, True),
+                                 (14, False, True), (15, False, True)):
                 seeds.append({"log2_block": lb, "hoist": True,
                               "parallel_grid": True, "dofmajor": True,
-                              "fold": fold})
+                              "fold": fold, "preblock": pb,
+                              "precision_3x": False})
         elif impl == "mass_v0":
-            for lb, fold in ((14, False), (15, True), (16, True)):
+            for lb, fold, pb in ((14, False, False), (15, True, False),
+                                 (14, False, True), (15, False, True)):
                 seeds.append({"log2_block": lb, "parallel_grid": True,
-                              "dofmajor": True, "fold": fold})
+                              "dofmajor": True, "fold": fold,
+                              "preblock": pb, "precision_3x": False})
         elif impl == "elementwise_v1":
             for lb, fold in ((14, False), (15, True), (16, True)):
                 seeds.append({"log2_block": lb, "parallel_grid": True,
