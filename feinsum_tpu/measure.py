@@ -358,19 +358,21 @@ def timeit_on_device(fn, arrays: dict) -> float:
 def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
                      max_iters: int = 200_000) -> float:
     """Per-iteration seconds of ``fn`` measured with the whole loop inside one
-    jit: iterations are chained through a tiny data dependency (an
-    underflow-scale perturbation of the smallest input) so neither XLA nor an
-    async dispatch layer can elide or overlap them; the fence is a scalar
-    reduction (never download the outputs); fixed host/RPC costs cancel via a
+    jit: every iteration's inputs pass through an ``optimization_barrier``
+    tied to the running accumulator, so the call is loop-carried (no
+    hoisting/CSE) without writing any input array — an earlier variant
+    perturbed one input element per iteration, which forced XLA into
+    copy-for-update of that whole array against the opaque pallas call and
+    OVER-reported some kernels by up to 2x.  The fence is a scalar reduction
+    (never download the outputs); fixed host/RPC costs cancel via a
     (k2 iters) - (k1 iters) difference, with k2 grown adaptively until the
-    on-device work dominates the round-trip noise.  This is the honest
-    kernel-time protocol on hardware behind an RPC relay, where
-    block_until_ready can return early and per-launch host timing is noise."""
+    on-device work dominates the round-trip noise.  Fallback protocol for
+    when no profiler trace is available (see :func:`_timeit_device_trace`,
+    which remains the primary honest protocol on this relay)."""
     import jax
     import jax.numpy as jnp
 
     names = sorted(arrays)
-    smallest = min(names, key=lambda n: arrays[n].size)
 
     # small working sets fit VMEM (128 MB): XLA pins loop-invariant inputs
     # there across the chained iterations and the loop measures VMEM — not
@@ -397,25 +399,24 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
 
     def body(i, carry):
         arrs, acc = carry
-        outs = fn(_select(arrs, i))
-        # the barrier forces every output to fully materialize: without it,
-        # XLA sinks the one-element probe slice THROUGH a plain-HLO dot and
-        # the whole iteration shrinks to a vector dot (observed on TCCG
-        # GEMMs via the XLA backend — 61 PFlop/s "measurements"; Pallas
-        # calls are opaque and were never affected)
+        # route the inputs through a barrier together with the accumulator:
+        # the barrier's outputs are data-dependent on acc, so the iteration
+        # cannot be hoisted out of the loop — and no input bytes move
+        gated = jax.lax.optimization_barrier(
+            tuple(arrs[n] for n in names) + (acc,))
+        arrs_g = dict(zip(names, gated[:-1]))
+        outs = fn(_select(arrs_g, i))
+        # the output barrier forces every output to fully materialize:
+        # without it, XLA sinks the one-element probe slice THROUGH a
+        # plain-HLO dot and the whole iteration shrinks to a vector dot
+        # (observed on TCCG GEMMs via the XLA backend — 61 PFlop/s
+        # "measurements"; Pallas calls are opaque and were never affected)
         outs = jax.lax.optimization_barrier(tuple(outs))
         # one element of the output feeds the accumulator: the call cannot be
         # dead-code-eliminated, and reading 4 bytes adds no HBM traffic
         probe = outs[0].ravel()[0].astype(jnp.float32)
         acc = acc * 0.5 + probe
-        # an underflow-scale single-element in-place update makes the next
-        # iteration's input depend on this one: no hoisting/CSE, no copies
-        eps = (acc * jnp.asarray(1e-45, jnp.float32)).astype(
-            arrs[smallest].dtype)
-        pert = dict(arrs)
-        flat_idx = (0,) * pert[smallest].ndim
-        pert[smallest] = arrs[smallest].at[flat_idx].add(eps)
-        return pert, acc
+        return arrs, acc
 
     @jax.jit
     def run(arrs, k):

@@ -52,6 +52,14 @@ copy2 = f.einsum("ij,ij->ij", f.array("A", ("E", NDOF), "float32"),
                  f.array("B", ("E", NDOF), "float32"))
 SUITE.append(("elementwise_v1", copy2))
 
+curl = f.batched_einsum(
+    "e,rij,ej->ei",
+    [[f.array(j, ("E",), "float32"),
+      f.array("D", (3, NDOF, NDOF), "float32"),
+      f.array(u, ("E", NDOF), "float32")]
+     for j, u in [("Jy", "uz"), ("Jz", "ux"), ("Jx", "uy")]])
+SUITE.append(("curl_3d_v0", curl))
+
 rowsum = f.einsum("ij->i", f.array("A", ("E", NDOF), "float32"))
 SUITE.append(("mass_v0", rowsum))
 
@@ -69,7 +77,8 @@ if __name__ == "__main__":
               flush=True)
         t0 = time.time()
         seeds = []
-        if impl in ("dg_div_v0", "dg_grad_v0", "face_mass_v0"):
+        if impl in ("dg_div_v0", "dg_grad_v0", "face_mass_v0",
+                    "curl_3d_v0"):
             for lb, fold, pb in ((13, False, False), (14, False, False),
                                  (15, True, False), (13, False, True),
                                  (14, False, True), (15, False, True)):
