@@ -37,7 +37,8 @@ def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000
 def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          parallel_grid: bool = True, dofmajor: bool = False,
                          fold: bool = False, preblock: bool = False,
-                         precision_3x: bool = False, **desc) -> object:
+                         precision_3x: bool = False, jfold: bool = False,
+                         **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
     contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
     rotates long axes onto the dense lane dimension (~3x HBM throughput for
@@ -46,8 +47,77 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
     sublane padding; +15% streaming, scripts/tpu_fold_probe*.py)."""
     e = program.einsum
     guard_vmem(e, block_long)
-    schedule = (get_opt_einsum_contraction_schedule(e) if hoist
-                else get_trivial_contraction_schedule(e))
+    if jfold:
+        # outer-product-first schedule: multiply the streamed operands into
+        # one intermediate (e.g. div's tmp[e,s,j] = J[e,s]*u[e,j]), then a
+        # single contraction against the resident matrix.  The emitter's
+        # K-folding concatenates the tiny contracted axis into the MXU K
+        # dimension, so e.g. div's 3 dots of K=35 become one dot of K=105.
+        # Resident operands are first reduced over indices private to them
+        # (curl's Sum_r D_rij -> a plain mass-matrix shape) so no step ever
+        # materializes a resident-x-streamed outer product — the trap that
+        # opt_einsum's literal pairwise path falls into on the curl class
+        # (it picks 'rij,e->ije', a (ndof,ndof,E) intermediate).
+        from feinsum_tpu.algebraic import (
+            extract_multiplicative_terms_in_sum_reduction_as_subst,
+        )
+        from feinsum_tpu.codegen.program import generate_program
+        from feinsum_tpu.contraction_schedule import (
+            ContractionSchedule, EinsumOperand, IntermediateResult)
+
+        long_pos = [i for i, s_ in enumerate(e.in_idx_sets)
+                    if any(isinstance(e.index_to_dim_length[ix], SizeParam)
+                           for ix in s_)]
+        if len(long_pos) < 2 or len(long_pos) >= e.n:
+            raise InvalidParameterError(
+                "jfold needs >=2 streamed operands and >=1 resident operand")
+        base = extract_multiplicative_terms_in_sum_reduction_as_subst(
+            generate_program(e), long_pos).schedule
+        # pre-reduce resident-private contracted indices
+        pre_subs, pre_names, pre_args = [], [], []
+        replace = {}
+        for p in range(e.n):
+            if p in long_pos:
+                continue
+            sub = e.in_idx_sets[p]
+            elsewhere = set(e.out_idx_set)
+            for q in range(e.n):
+                if q != p:
+                    elsewhere |= set(e.in_idx_sets[q])
+            private = [ix for ix in sub if ix not in elsewhere]
+            if private:
+                reduced = "".join(ix for ix in sub if ix not in private)
+                name = f"_fe_pre_{p}"
+                pre_subs.append(f"{''.join(sub)}->{reduced}")
+                pre_names.append(name)
+                pre_args.append((EinsumOperand(p),))
+                replace[p] = (name, reduced)
+        if replace:
+            new_subs, new_args = [], []
+            for subs_, args_ in zip(base.subscripts, base.arguments):
+                ins, out = subs_.split("->")
+                ins = ins.split(",")
+                ins2, args2 = [], []
+                for s_, a_ in zip(ins, args_):
+                    if isinstance(a_, EinsumOperand) and a_.position in \
+                            replace:
+                        name, reduced = replace[a_.position]
+                        ins2.append(reduced)
+                        args2.append(IntermediateResult(name))
+                    else:
+                        ins2.append(s_)
+                        args2.append(a_)
+                new_subs.append(f"{','.join(ins2)}->{out}")
+                new_args.append(tuple(args2))
+            base = ContractionSchedule(
+                subscripts=tuple(pre_subs) + tuple(new_subs),
+                result_names=tuple(pre_names) + base.result_names,
+                arguments=tuple(pre_args) + tuple(new_args))
+        schedule = base
+    elif hoist:
+        schedule = get_opt_einsum_contraction_schedule(e)
+    else:
+        schedule = get_trivial_contraction_schedule(e)
     if dofmajor and "arg_layouts" not in desc:
         from feinsum_tpu.ops.layouts import dofmajor_layouts
         layouts, out_perm = dofmajor_layouts(e)

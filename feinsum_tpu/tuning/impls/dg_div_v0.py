@@ -21,14 +21,15 @@ from feinsum_tpu.tuning.impls._common import fused_pallas_program
 @transform_param("fold", lambda e: BoolParameter())
 @transform_param("preblock", lambda e: BoolParameter())
 @transform_param("precision_3x", lambda e: BoolParameter())
+@transform_param("jfold", lambda e: BoolParameter())
 @transform_param("hoist", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
 def transform(program, log2_block, dofmajor, hoist, parallel_grid,
-              fold=False, preblock=False, precision_3x=False):
+              fold=False, preblock=False, precision_3x=False, jfold=False):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=hoist,
         parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold,
-        preblock=preblock, precision_3x=precision_3x)
+        preblock=preblock, precision_3x=precision_3x, jfold=jfold)
 
 
 if __name__ == "__main__":

@@ -85,7 +85,15 @@ if __name__ == "__main__":
                 seeds.append({"log2_block": lb, "hoist": True,
                               "parallel_grid": True, "dofmajor": True,
                               "fold": fold, "preblock": pb,
-                              "precision_3x": False})
+                              "precision_3x": False, "jfold": False})
+            # the div-winning combination: outer-product schedule + fold +
+            # preblock + 3-pass dots (79.9% roofline measured at b14)
+            for lb, fold in ((13, True), (14, True), (15, True),
+                             (13, False)):
+                seeds.append({"log2_block": lb, "hoist": True,
+                              "parallel_grid": True, "dofmajor": True,
+                              "fold": fold, "preblock": True,
+                              "precision_3x": True, "jfold": True})
         elif impl == "mass_v0":
             for lb, fold, pb in ((14, False, False), (15, True, False),
                                  (14, False, True), (15, False, True)):

@@ -119,6 +119,16 @@ def test_stringify_comparison_smoke():
     assert "measured" in s
 
 
+def test_stringify_comparison_accepts_device_object():
+    # the reference passes a cl_device object; ours accepts anything with a
+    # .name (e.g. FakeDevice) via the `device` kwarg
+    e = dg_grad(ndof=10, dtype="float32")
+    s = f.stringify_comparison_vs_roofline(
+        e, device=f.FakeDevice("TPU v5 lite"),
+        long_dim_length=500, min_rounds=5, min_seconds=0.05)
+    assert "% roofline" in s and "unknown" not in s
+
+
 def test_footprint():
     e = f.einsum("ej,ij->ei", f.array("u", ("E", 10), "float64"),
                  f.array("D", (10, 10), "float64"))
