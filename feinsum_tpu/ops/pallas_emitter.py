@@ -102,10 +102,12 @@ def estimate_block_vmem_bytes(einsum, block_long: int,
 
 
 def _try_build_flat_elementwise(program, lengths):
-    """Pure-elementwise programs (copies, Hadamard products) stream fastest
-    as dense flat 1D blocks: (blk, 35)-style blocks DMA 140-byte row
-    fragments at ~23% of HBM peak, while the same bytes viewed flat stream at
-    ~84% (measured on v5e, scripts/tpu_layout_probe.py)."""
+    """Pure-elementwise programs over operands that are ALREADY 1D stream as
+    dense flat blocks.  Multi-dim operands are rejected: flattening them
+    in-graph is a full HBM relayout on XLA:TPU ((E, 35) -> (N,) physically
+    retiles; measured 64 GB/s end-to-end on v5e, scripts/tpu_stream_probe.py)
+    — use dof-major + fold_long for those (exact (8,128) tiling with no
+    relayout, 88-94% of the bus measured)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -122,6 +124,8 @@ def _try_build_flat_elementwise(program, lengths):
         return None
     if desc.arg_layouts or desc.out_layout:
         return None
+    if len(out_set) != 1:
+        return None    # multi-dim operands: flattening = hidden HBM relayout
 
     n_total = 1
     for ix in out_set:
