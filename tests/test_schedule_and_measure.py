@@ -129,6 +129,17 @@ def test_stringify_comparison_accepts_device_object():
     assert "% roofline" in s and "unknown" not in s
 
 
+def test_complex_dtypes_validate_end_to_end():
+    # reference measure.py:63-108 generates complex inputs and weights
+    # complex ops (mul=6, add=2); our XLA backend executes complex einsums
+    for dt in ("complex64", "complex128"):
+        e = f.einsum("ej,ij->ei", f.array("u", ("E", 8), dt),
+                     f.array("D", (8, 8), dt))
+        f.validate_batched_einsum_transform(e, None, long_dim_length=512)
+        gmap = f.get_giga_op_map(e)
+        assert set(gmap) == {dt}
+
+
 def test_footprint():
     e = f.einsum("ej,ij->ei", f.array("u", ("E", 10), "float64"),
                  f.array("D", (10, 10), "float64"))
