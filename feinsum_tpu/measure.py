@@ -225,6 +225,15 @@ def validate_batched_einsum_transform(
     if fold > 1 and long_dim_length % fold:
         # folded layouts require the long axis divisible by fold_long
         long_dim_length += fold - long_dim_length % fold
+    if getattr(program.descriptor, "preblock_args", ()) and fold <= 1:
+        # validate pre-blocked programs at a lane-friendly length: the
+        # in-kernel (…, 8, blk_c) -> (…, 8*blk_c) merge (and downstream ops
+        # on the merged values) crash this Mosaic when the lane dim is not a
+        # multiple of 128, and tiny axes disengage pre-blocking entirely —
+        # round up so validation exercises the real engaged structure
+        blk = min(int(program.descriptor.block_long), 1024)
+        if long_dim_length % blk:
+            long_dim_length += blk - long_dim_length % blk
 
     np_arrays = generate_input_arrays(einsum, long_dim_length=long_dim_length,
                                       seed=seed, as_numpy=True)
@@ -360,15 +369,20 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
     """Per-iteration seconds of ``fn`` measured with the whole loop inside one
     jit: every iteration's inputs pass through an ``optimization_barrier``
     tied to the running accumulator, so the call is loop-carried (no
-    hoisting/CSE) without writing any input array — an earlier variant
-    perturbed one input element per iteration, which forced XLA into
-    copy-for-update of that whole array against the opaque pallas call and
-    OVER-reported some kernels by up to 2x.  The fence is a scalar reduction
-    (never download the outputs); fixed host/RPC costs cancel via a
-    (k2 iters) - (k1 iters) difference, with k2 grown adaptively until the
-    on-device work dominates the round-trip noise.  Fallback protocol for
-    when no profiler trace is available (see :func:`_timeit_device_trace`,
-    which remains the primary honest protocol on this relay)."""
+    hoisting/CSE); the fence is a scalar reduction (never download the
+    outputs); fixed host/RPC costs cancel via a (k2 iters) - (k1 iters)
+    difference, with k2 grown adaptively until the on-device work dominates
+    the round-trip noise.
+
+    KNOWN BIAS: even with the barrier chain (which replaced an input-
+    perturbation step), some kernels measure up to 2x slower inside the
+    chained loop than their true device-lane span (mass-matrix: ~1025 us
+    chained vs 496 us on the device timeline, identical executable) — the
+    loop structure itself serializes against the pallas call in a way we
+    have not fully isolated.  This protocol is therefore only the FALLBACK
+    when no profiler trace is available; :func:`_timeit_device_trace` is the
+    honest primary (its spans are validated against bytes/bandwidth floors
+    and agree with the loop protocol on bandwidth-saturated kernels)."""
     import jax
     import jax.numpy as jnp
 

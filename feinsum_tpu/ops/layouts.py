@@ -158,6 +158,19 @@ def preblock_geometry(block_long: int, length: int, fold: int = 1):
     return B, B // PREBLOCK_F, -(-length // B)
 
 
+def preblock_engaged(block_long: int, length: int, fold: int = 1) -> bool:
+    """Whether pre-blocked storage actually engages for this axis length.
+    The unfolded path merges each block (…, 8, blk_c) -> (…, 8*blk_c)
+    in-kernel; Mosaic crashes on that relayout when blk_c is below one lane
+    tile (observed: (8,13)->(104,) kills the compiler), so tiny axes
+    (validation-sized runs) fall back to plain storage on both the packer
+    and emitter side.  The folded path never merges and always engages."""
+    if fold > 1:
+        return True
+    _, blk_c, _ = preblock_geometry(block_long, length, 1)
+    return blk_c >= 128
+
+
 def preblock_arrays(program, arrays: dict) -> dict:
     """Repack the descriptor's ``preblock_args`` into tile-exact pre-blocked
     storage.  Arrays must already be permuted (arg_layouts) and folded
@@ -175,6 +188,8 @@ def preblock_arrays(program, arrays: dict) -> dict:
     for name in names:
         arr = out[name]
         length = arr.shape[-1] * (fold if fold > 1 else 1)
+        if not preblock_engaged(desc.block_long, length, fold):
+            continue
         B, blk_c, nb = preblock_geometry(desc.block_long, length, fold)
         if isinstance(arr, np.ndarray):
             xp = np

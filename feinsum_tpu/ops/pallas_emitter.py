@@ -216,8 +216,8 @@ def build_pallas_executable(program, index_to_length: dict):
 
     # pre-blocked tile-exact storage for small streamed args (see
     # descriptor.preblock_args / layouts.preblock_arrays)
-    from .layouts import (check_preblockable, preblock_geometry,
-                          preblock_names)
+    from .layouts import (check_preblockable, preblock_engaged,
+                          preblock_geometry, preblock_names)
     pb_names = set(preblock_names(program))
     if pb_names:
         check_preblockable(program)
@@ -248,6 +248,10 @@ def build_pallas_executable(program, index_to_length: dict):
         stored_idx[name] = (tuple(idx_set[p] for p in perm) if perm is not None
                             else tuple(idx_set))
 
+    if pb_names and grid_ix is not None and not preblock_engaged(
+            desc.block_long, lengths[grid_ix], fold):
+        pb_names = set()    # tiny axis: plain storage (see preblock_engaged)
+
     if grid_ix is None:
         grid = (1,)
         block_long = None
@@ -267,10 +271,15 @@ def build_pallas_executable(program, index_to_length: dict):
         grid = (pl.cdiv(c_len, blk_c),)
     elif pb_names:
         # pre-blocked args need block_long % 8 == 0 and a grid that matches
-        # their nb leading dim exactly
+        # their nb leading dim exactly.  When the rounded-up block exceeds
+        # the axis (single-block case, L % 8 != 0), normal args keep their
+        # exact length (Mosaic requires trailing block dims divisible by
+        # 128 OR equal to the array dim) and the pre-blocked merged block
+        # is cropped in-kernel.
         L = lengths[grid_ix]
-        block_long, _pb_blk_c, _pb_nb = preblock_geometry(
+        pb_block_long, _pb_blk_c, _pb_nb = preblock_geometry(
             desc.block_long, L, 1)
+        block_long = min(pb_block_long, L)
         blk_c = None
         c_len = None
         grid = (_pb_nb,)
@@ -319,8 +328,12 @@ def build_pallas_executable(program, index_to_length: dict):
         return imap
 
     pb_f = fold if fold > 1 else 8
-    pb_blk_c = (blk_c if fold > 1
-                else (block_long // 8 if grid_ix is not None else None))
+    if fold > 1:
+        pb_blk_c = blk_c
+    elif pb_names and grid_ix is not None:
+        pb_blk_c = pb_block_long // 8
+    else:
+        pb_blk_c = None
 
     def in_spec_of(name):
         if name not in pb_names:
@@ -513,7 +526,10 @@ def build_pallas_executable(program, index_to_length: dict):
         if fold > 1:
             return raw[0]
         lead_shape = raw.shape[1:-2]
-        return raw.reshape(lead_shape + (block_long,))
+        merged = raw.reshape(lead_shape + (pb_block_long,))
+        if pb_block_long > block_long:
+            merged = merged[..., :block_long]
+        return merged
 
     def kernel(*refs):
         in_refs = refs[:len(arg_names)]

@@ -53,16 +53,16 @@ def test_preblock_storage_shape_and_semantics():
     ens = suite()["mass"]
 
     def tr(program):
-        return fused_pallas_program(program, block_long=512, hoist=False,
+        return fused_pallas_program(program, block_long=1024, hoist=False,
                                     dofmajor=True, preblock=True)
     prog = tr(f.generate_program(ens))
     from feinsum_tpu.measure import _apply_layouts, generate_input_arrays
-    E = 2048
+    E = 4096
     arrays = _apply_layouts(prog, generate_input_arrays(
         ens, long_dim_length=E))
-    # jac (E,) -> (nb=4, 8, 64): block g holds elements [g*512, (g+1)*512)
-    assert arrays["jac"].shape == (4, 8, 64)
-    flat = np.asarray(arrays["jac"]).reshape(4 * 512)
+    # jac (E,) -> (nb=4, 8, 128): block g holds elements [g*1024, (g+1)*1024)
+    assert arrays["jac"].shape == (4, 8, 128)
+    flat = np.asarray(arrays["jac"]).reshape(4 * 1024)
     raw = generate_input_arrays(ens, long_dim_length=E, as_numpy=True)
     np.testing.assert_array_equal(flat, raw["jac"])
     # executable consumes the pre-blocked jac and matches numpy
