@@ -91,10 +91,16 @@ class WaveOperator3D:
                     program, use_pallas=use_pallas, block_long=block_long)
             # the model keeps its state and geometry dof-major end to end
             # (zero transposes per step), so pin the data layouts regardless
-            # of what schedule the archive chose
+            # of what schedule the archive chose — including resetting the
+            # archive's storage-layout choices (fold_long / preblock_args
+            # describe how *that schedule* wants arrays stored in HBM; the
+            # model's state contract is plain dof-major).  The algebraic
+            # schedule, backend, block size, and MXU precision carry over.
             layouts, out_perm = dofmajor_layouts(e)
             program = program.with_descriptor(arg_layouts=layouts,
-                                              out_layout=out_perm)
+                                              out_layout=out_perm,
+                                              fold_long=1,
+                                              preblock_args=())
             self._programs[name] = program
 
     def executables(self, n_elements: int) -> dict:

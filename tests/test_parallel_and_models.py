@@ -90,6 +90,35 @@ def test_wave_model_uses_db_schedule(tmp_path):
     assert op._programs["div"].descriptor.backend == "pallas"
 
 
+def test_wave_model_strips_storage_layouts_from_db_schedules(tmp_path):
+    """Archive champions may carry fold_long/preblock_args storage choices;
+    the model's state contract is plain dof-major, so those must reset (a
+    retrieved fold schedule once broke the wave example on TPU with a
+    block-rank mismatch)."""
+    import jax
+
+    from feinsum_tpu import sql_utils
+    from feinsum_tpu.models import WaveOperator3D, make_wave_state
+
+    db = str(tmp_path / "db.sqlite")
+    op_probe = WaveOperator3D(ndof=10, nfacedof=6, use_pallas=False)
+    sql_utils.record_facts(
+        op_probe.grad_einsum, transform_id="dg_grad_v0.py",
+        transform_params={"log2_block": 10, "hoist": True,
+                          "parallel_grid": True, "dofmajor": True,
+                          "fold": True, "preblock": True,
+                          "precision_3x": True},
+        runtime_in_sec=1e-4, device=None, db_path=db, long_dim_length=2048)
+    op = WaveOperator3D(ndof=10, nfacedof=6, db_path=db)
+    desc = op._programs["grad"].descriptor
+    assert desc.fold_long == 1 and desc.preblock_args == ()
+    assert desc.precision == "bf16_3x"    # the MXU choice carries over
+    step = jax.jit(op.make_step(512, dt=1e-3))
+    state, geom = make_wave_state(512, ndof=10, nfacedof=6)
+    out = step(state, geom)
+    assert out["u"].shape == (10, 512)
+
+
 def test_graft_entry():
     import jax
 
