@@ -52,6 +52,25 @@ copy2 = f.einsum("ij,ij->ij", f.array("A", ("E", NDOF), "float32"),
                  f.array("B", ("E", NDOF), "float32"))
 SUITE.append(("elementwise_v1", copy2))
 
+# the reference archive spans P1-P4 (ndof 4/10/20/35, BASELINE.md rows);
+# cover the smaller sizes too
+for nd in (4, 10, 20):
+    SUITE.append(("dg_div_v0", f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(jn, ("E", 3), "float32"),
+          f.array("R", (3, nd, nd), "float32"),
+          f.array(un, ("E", nd), "float32")]
+         for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])))
+for nd in (10, 20):
+    SUITE.append(("dg_grad_v0", f.einsum(
+        "xre,rij,ej->xei", f.array("J", (3, 3, "E"), "float32"),
+        f.array("D", (3, nd, nd), "float32"),
+        f.array("u", ("E", nd), "float32"))))
+    SUITE.append(("mass_v0", f.einsum(
+        "e,ij,ej->ei", f.array("jac", ("E",), "float32"),
+        f.array("M", (nd, nd), "float32"),
+        f.array("u", ("E", nd), "float32"))))
+
 curl = f.batched_einsum(
     "e,rij,ej->ei",
     [[f.array(j, ("E",), "float32"),
