@@ -1,0 +1,45 @@
+"""
+Schedule space lowering any batched einsum through the XLA backend:
+contraction path x matmul precision.  The general-purpose fallback space —
+in particular the fp64 path (XLA:TPU emulates f64; Mosaic kernels do not
+support f64 dots), mirroring the reference's fp64-centric archive rows
+(its ``tuning/impls`` all target fp64 on the TITAN V).
+"""
+
+from __future__ import annotations
+
+from feinsum_tpu.codegen.descriptor import ScheduleDescriptor
+from feinsum_tpu.contraction_schedule import (
+    get_opt_einsum_contraction_schedule,
+    get_trivial_contraction_schedule,
+)
+from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
+
+_PRECISIONS = ("default", "highest", "bf16_3x")
+
+
+@transform_param("use_opt_path", lambda e: BoolParameter())
+@transform_param("precision_idx",
+                 lambda e: IntParameter(0, len(_PRECISIONS) - 1))
+def transform(program, use_opt_path, precision_idx):
+    e = program.einsum
+    schedule = (get_opt_einsum_contraction_schedule(e) if use_opt_path
+                else get_trivial_contraction_schedule(e))
+    return program.copy(
+        schedule=schedule,
+        descriptor=ScheduleDescriptor(
+            backend="xla", precision=_PRECISIONS[precision_idx]))
+
+
+if __name__ == "__main__":
+    import feinsum_tpu as f
+    from feinsum_tpu.tuning import autotune
+
+    ndof = 35
+    einsum = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(j, ("E", 3), "float64"),
+          f.array("R", (3, ndof, ndof), "float64"),
+          f.array(u, ("E", ndof), "float64")]
+         for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+    autotune(einsum, __file__, stop_after=120, long_dim_length=200_000)
