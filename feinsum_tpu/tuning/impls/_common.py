@@ -34,10 +34,65 @@ def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000
             f" (> {VMEM_BUDGET_BYTES >> 20} MiB)")
 
 
+def prereduce_resident_private(einsum, schedule):
+    """Prefix *schedule* with steps reducing each resident (no-long-axis)
+    operand over indices private to it (appearing in no other operand nor
+    the output), and rewrite later steps to consume the reduced
+    intermediates.  E.g. curl's D (r,i,j) with r private becomes
+    'rij->ij', turning the per-element contraction into a plain mass shape
+    (one MXU dot instead of an unrolled sum of three)."""
+    from feinsum_tpu.contraction_schedule import (
+        ContractionSchedule, EinsumOperand, IntermediateResult)
+    from feinsum_tpu.einsum import SizeParam
+
+    e = einsum
+    pre_subs, pre_names, pre_args = [], [], []
+    replace = {}
+    for p in range(e.n):
+        sub = e.in_idx_sets[p]
+        if any(isinstance(e.index_to_dim_length[ix], SizeParam)
+               for ix in sub):
+            continue
+        elsewhere = set(e.out_idx_set)
+        for q in range(e.n):
+            if q != p:
+                elsewhere |= set(e.in_idx_sets[q])
+        private = [ix for ix in sub if ix not in elsewhere]
+        if private:
+            reduced = "".join(ix for ix in sub if ix not in private)
+            name = f"_fe_pre_{p}"
+            pre_subs.append(f"{''.join(sub)}->{reduced}")
+            pre_names.append(name)
+            pre_args.append((EinsumOperand(p),))
+            replace[p] = (name, reduced)
+    if not replace:
+        return schedule
+    new_subs, new_args = [], []
+    for subs_, args_ in zip(schedule.subscripts, schedule.arguments):
+        ins, out = subs_.split("->")
+        ins = ins.split(",")
+        ins2, args2 = [], []
+        for s_, a_ in zip(ins, args_):
+            if isinstance(a_, EinsumOperand) and a_.position in replace:
+                name, reduced = replace[a_.position]
+                ins2.append(reduced)
+                args2.append(IntermediateResult(name))
+            else:
+                ins2.append(s_)
+                args2.append(a_)
+        new_subs.append(f"{','.join(ins2)}->{out}")
+        new_args.append(tuple(args2))
+    return ContractionSchedule(
+        subscripts=tuple(pre_subs) + tuple(new_subs),
+        result_names=tuple(pre_names) + schedule.result_names,
+        arguments=tuple(pre_args) + tuple(new_args))
+
+
 def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          parallel_grid: bool = True, dofmajor: bool = False,
                          fold: bool = False, preblock: bool = False,
                          precision_3x: bool = False, jfold: bool = False,
+                         prereduce: bool = False,
                          **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
     contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
@@ -62,8 +117,6 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
             extract_multiplicative_terms_in_sum_reduction_as_subst,
         )
         from feinsum_tpu.codegen.program import generate_program
-        from feinsum_tpu.contraction_schedule import (
-            ContractionSchedule, EinsumOperand, IntermediateResult)
 
         long_pos = [i for i, s_ in enumerate(e.in_idx_sets)
                     if any(isinstance(e.index_to_dim_length[ix], SizeParam)
@@ -71,53 +124,28 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
         if len(long_pos) < 2 or len(long_pos) >= e.n:
             raise InvalidParameterError(
                 "jfold needs >=2 streamed operands and >=1 resident operand")
-        base = extract_multiplicative_terms_in_sum_reduction_as_subst(
-            generate_program(e), long_pos).schedule
-        # pre-reduce resident-private contracted indices
-        pre_subs, pre_names, pre_args = [], [], []
-        replace = {}
-        for p in range(e.n):
-            if p in long_pos:
-                continue
-            sub = e.in_idx_sets[p]
-            elsewhere = set(e.out_idx_set)
-            for q in range(e.n):
-                if q != p:
-                    elsewhere |= set(e.in_idx_sets[q])
-            private = [ix for ix in sub if ix not in elsewhere]
-            if private:
-                reduced = "".join(ix for ix in sub if ix not in private)
-                name = f"_fe_pre_{p}"
-                pre_subs.append(f"{''.join(sub)}->{reduced}")
-                pre_names.append(name)
-                pre_args.append((EinsumOperand(p),))
-                replace[p] = (name, reduced)
-        if replace:
-            new_subs, new_args = [], []
-            for subs_, args_ in zip(base.subscripts, base.arguments):
-                ins, out = subs_.split("->")
-                ins = ins.split(",")
-                ins2, args2 = [], []
-                for s_, a_ in zip(ins, args_):
-                    if isinstance(a_, EinsumOperand) and a_.position in \
-                            replace:
-                        name, reduced = replace[a_.position]
-                        ins2.append(reduced)
-                        args2.append(IntermediateResult(name))
-                    else:
-                        ins2.append(s_)
-                        args2.append(a_)
-                new_subs.append(f"{','.join(ins2)}->{out}")
-                new_args.append(tuple(args2))
-            base = ContractionSchedule(
-                subscripts=tuple(pre_subs) + tuple(new_subs),
-                result_names=tuple(pre_names) + base.result_names,
-                arguments=tuple(pre_args) + tuple(new_args))
-        schedule = base
+        schedule = prereduce_resident_private(
+            e, extract_multiplicative_terms_in_sum_reduction_as_subst(
+                generate_program(e), long_pos).schedule)
     elif hoist:
         schedule = get_opt_einsum_contraction_schedule(e)
     else:
         schedule = get_trivial_contraction_schedule(e)
+    if prereduce and not jfold:
+        # resident-private pre-reduction on the plain schedules too (the
+        # curl class: 'rij->ij' turns 3 unrolled r-dots into one mass dot).
+        # Measured caveat (v5e): feeding an MXU dot's RESIDENT side from a
+        # computed intermediate is 5x slower than from a raw block (curl
+        # 9.6ms vs 1.7ms trivial) — Mosaic handles computed operands on the
+        # streamed side fine (div's jfold) but not on the resident side, so
+        # this knob usually loses; it stays in the space for the tuner to
+        # score honestly on other shapes.
+        reduced = prereduce_resident_private(e, schedule)
+        if reduced is schedule:
+            raise InvalidParameterError(
+                "prereduce: no resident operand has private contracted"
+                " indices")
+        schedule = reduced
     if dofmajor and "arg_layouts" not in desc:
         from feinsum_tpu.ops.layouts import dofmajor_layouts
         layouts, out_perm = dofmajor_layouts(e)

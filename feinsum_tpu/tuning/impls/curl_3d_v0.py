@@ -24,14 +24,17 @@ from feinsum_tpu.tuning.impls._common import fused_pallas_program
 @transform_param("preblock", lambda e: BoolParameter())
 @transform_param("precision_3x", lambda e: BoolParameter())
 @transform_param("jfold", lambda e: BoolParameter())
+@transform_param("prereduce", lambda e: BoolParameter())
 @transform_param("hoist", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
 def transform(program, log2_block, dofmajor, hoist, parallel_grid,
-              fold=False, preblock=False, precision_3x=False, jfold=False):
+              fold=False, preblock=False, precision_3x=False, jfold=False,
+              prereduce=False):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=hoist,
         parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold,
-        preblock=preblock, precision_3x=precision_3x, jfold=jfold)
+        preblock=preblock, precision_3x=precision_3x, jfold=jfold,
+        prereduce=prereduce)
 
 
 if __name__ == "__main__":
