@@ -133,6 +133,25 @@ def test_graft_dryrun_multichip():
     g.dryrun_multichip(8)
 
 
+def test_graft_dryrun_multichip_driver_style():
+    """The exact invocation the driver uses: a fresh interpreter with NO
+    pytest conftest pre-arranging XLA_FLAGS / platform — the bootstrap
+    inside dryrun_multichip must do everything itself (round-1 regression:
+    MULTICHIP_r01.json rc=1)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+
+
 def test_wave_model_numerics():
     """One wave step vs a numpy reference computed from the logical views of
     the dof-major state/geometry (catches layout plumbing mistakes)."""
