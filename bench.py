@@ -6,9 +6,11 @@ Prints ONE JSON line:
    "unit": "%roofline", "vs_baseline": <ours / reference's geomean roofline
    fraction on its own hardware (TITAN V, from BASELINE.md)>}
 
-Per-kernel details go to stderr.  Schedules come from the shipped transform
-archive when present, else from built-in best-known descriptors (tuned on
-TPU v5e).
+Per-kernel details go to stderr, followed by the extended evidence tables
+(VERDICT.md r1 items 3/4/5/9): the P1-P3 DG sizes, curl, an fp64 row, a
+TCCG sample, and the DB-hit->replay latency.  Schedules come from the
+shipped transform archive when present, else from built-in best-known
+descriptors (tuned on TPU v5e).
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ from __future__ import annotations
 import json
 import math
 import sys
+import time
 
 import jax
 
@@ -44,20 +47,38 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-# {{{ the suite (shapes = the reference's headline rows, BASELINE.md)
+# {{{ einsum builders (shapes = the reference's archived rows, BASELINE.md)
+
+def make_div(ndof, dtype="float32"):
+    return f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(jn, ("E", 3), dtype),
+          f.array("R", (3, ndof, ndof), dtype),
+          f.array(un, ("E", ndof), dtype)]
+         for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+
+
+def make_grad(ndof, dtype="float32"):
+    return f.einsum("xre,rij,ej->xei",
+                    f.array("J", (3, 3, "E"), dtype),
+                    f.array("D", (3, ndof, ndof), dtype),
+                    f.array("u", ("E", ndof), dtype))
+
+
+def make_curl(ndof=35):
+    # (curl u) component rows: J_a (E,) geometry factor, D (3,ndof,ndof)
+    # reference derivatives, u_b (E,ndof) dofs (reference class:
+    # re_rji_ej_to_ei_3d_cross_product_v0.py)
+    return f.batched_einsum(
+        "e,rij,ej->ei",
+        [[f.array(j, ("E",), "float32"),
+          f.array("D", (3, ndof, ndof), "float32"),
+          f.array(u, ("E", ndof), "float32")]
+         for j, u in [("Jy", "uz"), ("Jz", "ux"), ("Jx", "uy")]])
+
 
 def suite():
     ndof = 35
-    div = f.batched_einsum(
-        "es,sij,ej->ei",
-        [[f.array(jn, ("E", 3), "float32"),
-          f.array("R", (3, ndof, ndof), "float32"),
-          f.array(un, ("E", ndof), "float32")]
-         for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
-    grad = f.einsum("xre,rij,ej->xei",
-                    f.array("J", (3, 3, "E"), "float32"),
-                    f.array("D", (3, ndof, ndof), "float32"),
-                    f.array("u", ("E", ndof), "float32"))
     face = f.einsum("ifj,fe,fej->ei",
                     f.array("L", (ndof, 4, 15), "float32"),
                     f.array("Fj", (4, "E"), "float32"),
@@ -74,12 +95,28 @@ def suite():
                      f.array("B", ("E", ndof), "float32"))
     # reference best GOp/s on TITAN V (fp64), BASELINE.md rows
     return [
-        ("dg_div_ndof35", div, 1945.6, "dg_div_v0"),
-        ("dg_grad_ndof35", grad, 2002.4, "dg_grad_v0"),
-        ("dg_face_mass", face, 2186.0, "face_mass_v0"),
-        ("dg_mass_ndof35", mass, 1393.7, "mass_v0"),
-        ("matvec_ndof20", matvec, 974.3, "mass_v0"),
-        ("copy_ndof35", copy2, 24.6, "elementwise_v0"),
+        ("dg_div_ndof35", make_div(ndof), 1945.6),
+        ("dg_grad_ndof35", make_grad(ndof), 2002.4),
+        ("dg_face_mass", face, 2186.0),
+        ("dg_mass_ndof35", mass, 1393.7),
+        ("matvec_ndof20", matvec, 974.3),
+        ("copy_ndof35", copy2, 24.6),
+    ]
+
+
+def extended_suite():
+    """P1-P3 DG sizes, curl, fp64 — stderr evidence rows (VERDICT r1 #3/8/9).
+    Reference GOp/s from BASELINE.md where it records the size (fp64 TITAN V);
+    None where the reference DB has no row."""
+    return [
+        ("dg_div_ndof20_P3", make_div(20), 1690.0),
+        ("dg_div_ndof10_P2", make_div(10), 962.5),
+        ("dg_div_ndof4_P1", make_div(4), 355.9),
+        ("dg_grad_ndof20_P3", make_grad(20), 1675.5),
+        ("dg_grad_ndof10_P2", make_grad(10), None),
+        ("dg_grad_ndof4_P1", make_grad(4), None),
+        ("dg_curl_ndof35", make_curl(35), None),
+        ("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6),
     ]
 
 # }}}
@@ -87,9 +124,14 @@ def suite():
 
 # {{{ built-in best-known schedules (tuned on TPU v5e; see scripts/tpu_sweep*)
 
-def default_transform(kind):
+def default_transform(einsum):
+    is_f64 = any(a.dtype == "float64" for row in einsum.args for a in row)
+
     def tr(program):
         e = program.einsum
+        if is_f64:   # Mosaic kernels have no f64 dots; XLA emulates f64
+            return f.generate_program_with_opt_einsum_schedule(
+                e).with_descriptor(backend="xla", precision="highest")
         layouts, out_perm = dofmajor_layouts(e)
         p = f.generate_program_with_opt_einsum_schedule(e)
         return p.with_descriptor(
@@ -107,52 +149,131 @@ def geomean(xs):
     return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else 0.0
 
 
-def main() -> None:
-    device_key = get_device_key()
-    log(f"benchmarking on {device_key}, E={E_BENCH}")
+def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH):
+    """(rate GOp/s, fraction of roofline) for one suite row, archive-first.
 
+    Archive misses fall back to the built-in default schedule; any OTHER
+    archive failure is reported loudly (a corrupted archive must not be
+    silently papered over — ADVICE/VERDICT r1)."""
+    transform = None
+    try:
+        transform = sql_utils.retrieve(einsum)
+    except NoFactInDatabaseError:
+        log(f"{name}: no archive fact; using built-in default schedule")
+    except Exception as ex:  # noqa: BLE001
+        log(f"{name}: ARCHIVE ERROR {type(ex).__name__}: {str(ex)[:200]}"
+            f" — falling back to built-in default schedule")
+    if transform is None:
+        transform = default_transform(einsum)
+    f.validate_batched_einsum_transform(
+        einsum, transform, long_dim_length=2000)
+    program = transform(f.generate_program(einsum))
+    arrays = _apply_layouts(
+        program,
+        generate_input_arrays(einsum, long_dim_length=long_dim_length))
+    fn = f.build_executable(program, long_dim_length=long_dim_length)
+    dt = timeit_on_device(fn, arrays)
+    gops = sum(evaluate_giga_op_map(
+        get_giga_op_map(einsum), long_dim_length).values())
+    rate = gops / dt
+    roof = get_roofline_flop_rate(einsum, device_key,
+                                  long_dim_length=long_dim_length,
+                                  ignore_unknown_device=True)
+    return rate, (rate / roof if roof else 0.0)
+
+
+def reference_roofline_fraction(einsum, ref_gops):
+    """The reference's fraction-of-roofline on its own hardware (fp64
+    TITAN V), for the vs_baseline ratio."""
+    ref_einsum = einsum.copy(args=tuple(
+        tuple(a.copy(dtype="float64") for a in row)
+        for row in einsum.args))
+    ref_roof = get_roofline_flop_rate(
+        ref_einsum, "NVIDIA TITAN V", long_dim_length=100_000)
+    return ref_gops / ref_roof
+
+
+def run_headline(device_key):
     ours, refs = [], []
-    for name, einsum, ref_gops, impl in suite():
-        # schedule: archive first, then built-in defaults
-        transform = None
+    for name, einsum, ref_gops in suite():
         try:
-            transform = sql_utils.retrieve(einsum)
-        except (NoFactInDatabaseError, Exception):
-            transform = None
-        if transform is None:
-            transform = default_transform("dofmajor")
-        try:
-            f.validate_batched_einsum_transform(
-                einsum, transform, long_dim_length=2000)
-            program = transform(f.generate_program(einsum))
-            arrays = _apply_layouts(
-                program,
-                generate_input_arrays(einsum, long_dim_length=E_BENCH))
-            fn = f.build_executable(program, long_dim_length=E_BENCH)
-            dt = timeit_on_device(fn, arrays)
+            rate, frac = measure_row(name, einsum, device_key)
         except Exception as ex:  # noqa: BLE001
             log(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:200]}")
             continue
-        gops = sum(evaluate_giga_op_map(
-            get_giga_op_map(einsum), E_BENCH).values())
-        rate = gops / dt
-        roof = get_roofline_flop_rate(einsum, device_key,
-                                      long_dim_length=E_BENCH,
-                                      ignore_unknown_device=True)
-        frac = rate / roof if roof else 0.0
         ours.append(frac)
-
-        # the reference's fraction-of-roofline on its own hardware (fp64)
-        ref_einsum = einsum.copy(args=tuple(
-            tuple(a.copy(dtype="float64") for a in row)
-            for row in einsum.args))
-        ref_roof = get_roofline_flop_rate(
-            ref_einsum, "NVIDIA TITAN V", long_dim_length=100_000)
-        ref_frac = ref_gops / ref_roof
+        ref_frac = reference_roofline_fraction(einsum, ref_gops)
         refs.append(ref_frac)
         log(f"{name}: {rate:8.0f} GOp/s = {100*frac:5.1f}% of TPU roofline"
             f" | reference: {ref_gops:7.1f} GOp/s = {100*ref_frac:5.1f}% of"
             f" TITAN V roofline")
+    return ours, refs
+
+
+def run_extended(device_key):
+    log("--- extended suite (P-levels / curl / fp64) ---")
+    for name, einsum, ref_gops in extended_suite():
+        try:
+            rate, frac = measure_row(name, einsum, device_key)
+        except Exception as ex:  # noqa: BLE001
+            log(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:200]}")
+            continue
+        ref_s = ""
+        if ref_gops is not None:
+            ref_frac = reference_roofline_fraction(einsum, ref_gops)
+            ref_s = (f" | reference: {ref_gops:7.1f} GOp/s ="
+                     f" {100*ref_frac:5.1f}% of TITAN V roofline")
+        log(f"{name}: {rate:8.0f} GOp/s = {100*frac:5.1f}%"
+            f" of TPU roofline{ref_s}")
+
+
+# TCCG sample: one benchmark per structural family of the 48 (VERDICT r1 #4)
+TCCG_SAMPLE = (2, 5, 12, 21, 35, 43)
+
+
+def run_tccg(device_key):
+    log("--- TCCG sample (dense tensor contractions, fp32) ---")
+    for idx in TCCG_SAMPLE:
+        einsum = f.get_tccg_benchmark(idx, dtype="float32")
+        try:
+            rate, frac = measure_row(f"tccg_{idx:02d}", einsum, device_key,
+                                     long_dim_length=100_000)
+        except Exception as ex:  # noqa: BLE001
+            log(f"tccg_{idx:02d}: FAILED {type(ex).__name__}:"
+                f" {str(ex)[:200]}")
+            continue
+        log(f"tccg_{idx:02d} [{einsum.get_subscripts():>22s}]:"
+            f" {rate:8.0f} GOp/s = {100*frac:5.1f}% of TPU roofline")
+
+
+def run_replay_latency():
+    """The <10 ms DB-hit->replay budget (SURVEY §3.2), measured like
+    tests/test_tuning_and_db.py::test_db_hit_replay_budget but on this
+    host's archive + device key."""
+    div = make_div(35)
+
+    def replay():
+        tr = sql_utils.retrieve(div, f.FakeDevice("TPU_v5_lite"))
+        prog = tr(f.generate_program(div))
+        return f.build_executable(prog, long_dim_length=E_BENCH)
+
+    replay()  # warm imports/canon/sqlite
+    ts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        replay()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    log(f"DB-hit->replay (retrieve->transform->build_executable):"
+        f" median {1e3*ts[len(ts)//2]:.2f} ms over 20 reps"
+        f" (north-star budget: 10 ms)")
+
+
+def main() -> None:
+    device_key = get_device_key()
+    log(f"benchmarking on {device_key}, E={E_BENCH}")
+
+    ours, refs = run_headline(device_key)
 
     value = 100.0 * geomean(ours)
     vs_baseline = (geomean(ours) / geomean(refs)) if refs else 0.0
@@ -163,6 +284,17 @@ def main() -> None:
         "unit": "%roofline",
         "vs_baseline": round(vs_baseline, 3),
     }))
+
+    # evidence tables (stderr only; failures here never break the headline)
+    for section in (run_extended, run_tccg, run_replay_latency):
+        try:
+            if section is run_replay_latency:
+                section()
+            else:
+                section(device_key)
+        except Exception as ex:  # noqa: BLE001
+            log(f"extended section {section.__name__} FAILED:"
+                f" {type(ex).__name__}: {str(ex)[:200]}")
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ from .algebraic import (
 from .canonicalization import (
     canonicalize_einsum,
     get_substitution_mapping_between_isomorphic_batched_einsums,
+    visualize,
 )
 from .cl_utils import FakeCLDevice, FakeDevice
 from .codegen import (
@@ -52,9 +53,11 @@ from .einsum import (
 )
 from .make_einsum import array, batched_einsum, einsum
 from .matching import (
+    InsnInfo,
     abstract_long_axes,
     get_a_matched_einsum,
     get_call_ids,
+    get_matched_einsums,
     identify_as_einsum,
     match_fn_to_einsum,
     match_t_unit_to_einsum,
@@ -121,6 +124,7 @@ __all__ = (
     "batched_einsum",
     "build_executable",
     "canonicalize_einsum",
+    "visualize",
     "einsum",
     "einsum_arg",
     "enable_persistent_compilation_cache",
@@ -128,6 +132,8 @@ __all__ = (
     "generate_program",
     "generate_program_with_opt_einsum_schedule",
     "get_a_matched_einsum",
+    "get_matched_einsums",
+    "InsnInfo",
     "get_call_ids",
     "get_footprint_gbytes",
     "get_giga_op_map",

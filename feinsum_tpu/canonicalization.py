@@ -244,3 +244,66 @@ def get_substitution_mapping_between_isomorphic_batched_einsums(
 def are_einsums_isomorphic(einsum1: BatchedEinsum,
                            einsum2: BatchedEinsum) -> bool:
     return canonicalize_einsum(einsum1) == canonicalize_einsum(einsum2)
+
+
+# one fill color per vertex class (the reference colors its induced DAG per
+# node class too, canonicalization.py:235-276)
+_DOT_STYLE = {
+    "idx": ("ellipse", "#8dd3c7"),
+    "param": ("ellipse", "#ffffb3"),
+    "arg": ("box", "#bebada"),
+    "row": ("box", "#fb8072"),
+    "pos": ("box", "#80b1d3"),
+    "axis": ("diamond", "#fdb462"),
+    "cell": ("circle", "#b3de69"),
+}
+
+
+def visualize(einsum: BatchedEinsum, path: Optional[str] = None) -> str:
+    """Graphviz DOT rendering of the colored digraph induced by *einsum* —
+    the debugging view of what canonical labeling actually sees (parity:
+    reference ``canonicalization.py:235-276, 332-356``, which renders the
+    induced DAG via pydot).
+
+    Each vertex is labeled with its entity (index letter, arg name, row,
+    operand position, axis ordinal) and its invariant color id; fill colors
+    distinguish the vertex classes.  Returns the DOT source; if *path* is
+    given the source is also written there (render with ``dot -Tsvg``).
+    """
+    g = _EinsumGraph(einsum)
+
+    def label(ent) -> str:
+        kind = ent[0]
+        if kind == "idx":
+            return f"idx {ent[1]}"
+        if kind == "param":
+            return f"param {ent[1]}"
+        if kind == "arg":
+            return f"arg {ent[1]}"
+        if kind == "row":
+            return f"row {ent[1]}"
+        if kind == "pos":
+            return f"pos {ent[1]}"
+        if kind == "axis":
+            return f"axis[{ent[1]},{ent[2]}]"
+        return f"cell[{ent[1]},{ent[2]}]"
+
+    lines = [
+        "digraph batched_einsum {",
+        f'  label="{einsum.get_subscripts()}"; labelloc=t;',
+        "  rankdir=TB;",
+        '  node [style=filled, fontsize=10];',
+    ]
+    for node, ent in enumerate(g.node_entity):
+        shape, fill = _DOT_STYLE[ent[0]]
+        lines.append(
+            f'  n{node} [label="{label(ent)}\\nc{g.colors[node]}",'
+            f' shape={shape}, fillcolor="{fill}"];')
+    for src, dst in g.edges:
+        lines.append(f"  n{src} -> n{dst};")
+    lines.append("}")
+    dot = "\n".join(lines) + "\n"
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(dot)
+    return dot

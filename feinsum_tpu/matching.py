@@ -11,6 +11,16 @@ label; primitives unify labels (union-find); the final classes become einsum
 index letters.  Axes at least ``long_dim_length`` long are promoted to
 :class:`SizeParam` (the reference's rule, loopy_utils/__init__.py:121-128).
 
+Beyond single einsums, a traced function may be a **sum of einsums**
+(``div(v) + lift(flux)``): each maximal product/reduction subtree is an
+*instruction*, and ``insn_match`` selects which instruction(s) to match —
+the analog of the reference's loopy ``insn_match`` filter
+(``loopy_utils/__init__.py:233-254``).  Scalar *literal* factors
+(``2.0 * einsum(...)``) pass through: they scale the value but do not change
+the einsum's structure, so matching succeeds and the factor is not part of
+the returned einsum (the reference keeps such factors in the operand
+substitution-rule expression, ``codegen/loopy.py:94-95``).
+
 Grammar violations raise :class:`EinsumMatchError`.
 """
 
@@ -18,7 +28,8 @@ from __future__ import annotations
 
 import inspect
 import string
-from typing import Callable, Optional, Sequence
+from dataclasses import dataclass
+from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
 
@@ -64,23 +75,51 @@ class _Term:
         self.contracted = frozenset(contracted)  # label ids summed over
 
 
+class _Sum:
+    """A sum of einsum terms sharing the value's axes (one per addend of
+    ``add``/``sub`` chains).  Signs are dropped: they scale terms without
+    changing einsum structure (see module docstring on scalar factors)."""
+
+    def __init__(self, terms):
+        self.terms = tuple(terms)
+
+
+def _as_terms(val) -> tuple:
+    return val.terms if isinstance(val, _Sum) else (val,)
+
+
+@dataclass(frozen=True)
+class InsnInfo:
+    """What ``insn_match`` predicates see about one matched instruction
+    (one addend of one traced output): which output it contributes to, its
+    position among that output's addends, and the argument names of the
+    operands it reads (in use order)."""
+
+    out_index: int
+    term_index: int
+    arg_names: tuple
+    flat_index: int
+
+
+InsnMatchT = Union[int, tuple, Callable[[InsnInfo], bool], None]
+
+
 def _trace(fn: Callable, example_args) -> tuple:
     import jax
     jaxpr = jax.make_jaxpr(fn)(*example_args)
     return jaxpr
 
 
-def get_a_matched_einsum(
-        fn: Callable, example_args: Sequence, *,
-        long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
-        arg_names: Optional[Sequence] = None) -> tuple:
-    """Match the traced *fn* against the batched-einsum grammar.
+def _collect_instructions(fn: Callable, example_args: Sequence, *,
+                          arg_names: Optional[Sequence] = None) -> tuple:
+    """Trace *fn* and walk its jaxpr under the (extended) einsum grammar.
 
-    Returns ``(einsum, name_map)`` where the einsum's operand names are *fn*'s
-    parameter names and ``name_map`` maps them to input positions (parity:
-    reference ``get_a_matched_einsum``; the name map plays the bidict role).
+    Returns ``(jaxpr, labels, in_axis_labels, arg_names, out_sums)`` where
+    ``out_sums[k]`` is the tuple of einsum instructions (:class:`_Term`)
+    whose sum the k-th traced output computes (a single-term tuple for a
+    plain einsum output).
     """
-    import jax
+    from jax.extend.core import Literal
 
     if arg_names is None:
         try:
@@ -109,8 +148,10 @@ def get_a_matched_einsum(
         in_axis_labels.append(axis_labels)
         env[var] = _Term(axis_labels, [(i, tuple(axis_labels))], ())
 
+    def is_scalar_literal(atom) -> bool:
+        return isinstance(atom, Literal) and np.ndim(atom.val) == 0
+
     def read(atom):
-        from jax.extend.core import Literal
         if isinstance(atom, Literal):
             raise EinsumMatchError(
                 f"literal {atom} is not part of the einsum grammar")
@@ -118,10 +159,27 @@ def get_a_matched_einsum(
             raise EinsumMatchError(f"value {atom} has unknown provenance")
         return env[atom]
 
+    def read_term(atom, prim) -> _Term:
+        """Read an atom that must be a single einsum term (not a sum)."""
+        val = read(atom)
+        terms = _as_terms(val)
+        if len(terms) > 1:
+            raise EinsumMatchError(
+                f"'{prim}' applied to a sum of einsums: products of sums "
+                f"are outside the grammar — factor the function so each "
+                f"addend is a standalone einsum, then select with "
+                f"insn_match")
+        return terms[0]
+
+    def map_terms(val, f):
+        terms = tuple(f(t) for t in _as_terms(val))
+        return terms[0] if len(terms) == 1 else _Sum(terms)
+
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
         if prim == "dot_general":
-            a, b = read(eqn.invars[0]), read(eqn.invars[1])
+            a = read_term(eqn.invars[0], prim)
+            b = read_term(eqn.invars[1], prim)
             (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
             for la, ra in zip(lc, rc):
                 labels.unify(a.labels[la], b.labels[ra])
@@ -138,19 +196,30 @@ def get_a_matched_einsum(
             env[eqn.outvars[0]] = _Term(
                 out_labels, a.operands + b.operands, contracted)
         elif prim == "transpose":
-            a = read(eqn.invars[0])
             perm = eqn.params["permutation"]
-            env[eqn.outvars[0]] = _Term(
-                [a.labels[p] for p in perm], a.operands, a.contracted)
+            env[eqn.outvars[0]] = map_terms(
+                read(eqn.invars[0]),
+                lambda t: _Term([t.labels[p] for p in perm],
+                                t.operands, t.contracted))
         elif prim == "reduce_sum":
-            a = read(eqn.invars[0])
             axes = set(eqn.params["axes"])
-            out_labels = [l for d, l in enumerate(a.labels)
-                          if d not in axes]
-            contracted = set(a.contracted) | {a.labels[d] for d in axes}
-            env[eqn.outvars[0]] = _Term(out_labels, a.operands, contracted)
+            env[eqn.outvars[0]] = map_terms(
+                read(eqn.invars[0]),
+                lambda t: _Term(
+                    [l for d, l in enumerate(t.labels) if d not in axes],
+                    t.operands,
+                    set(t.contracted) | {t.labels[d] for d in axes}))
         elif prim == "mul":
-            a, b = read(eqn.invars[0]), read(eqn.invars[1])
+            # scalar *literal* factors scale a term without changing its
+            # einsum structure (reference keeps them in the operand subst
+            # expression, codegen/loopy.py:94-95) — pass the value through
+            scalar_side = [is_scalar_literal(v) for v in eqn.invars]
+            if any(scalar_side):
+                other = eqn.invars[1 - scalar_side.index(True)]
+                env[eqn.outvars[0]] = read(other)
+                continue
+            a = read_term(eqn.invars[0], prim)
+            b = read_term(eqn.invars[1], prim)
             if len(a.labels) != len(b.labels):
                 raise EinsumMatchError(
                     "elementwise product of mismatched ranks; broadcast"
@@ -160,25 +229,113 @@ def get_a_matched_einsum(
             env[eqn.outvars[0]] = _Term(
                 a.labels, a.operands + b.operands,
                 set(a.contracted) | set(b.contracted))
+        elif prim in ("add", "sub"):
+            if any(isinstance(v, Literal) for v in eqn.invars):
+                raise EinsumMatchError(
+                    f"'{prim}' with a scalar offset is outside the einsum"
+                    f" grammar (only sums of einsum terms are matched)")
+            ta = _as_terms(read(eqn.invars[0]))
+            tb = _as_terms(read(eqn.invars[1]))
+            rank = len(ta[0].labels)
+            if any(len(t.labels) != rank for t in ta + tb):
+                raise EinsumMatchError(
+                    f"'{prim}' of values with different ranks")
+            # all addends share the value's axes
+            for t in ta[1:] + tb:
+                for la, lb_ in zip(ta[0].labels, t.labels):
+                    labels.unify(la, lb_)
+            env[eqn.outvars[0]] = _Sum(ta + tb)
+        elif prim == "neg":
+            env[eqn.outvars[0]] = read(eqn.invars[0])
         elif prim == "broadcast_in_dim":
-            a = read(eqn.invars[0])
             bdims = eqn.params["broadcast_dimensions"]
             shape = eqn.params["shape"]
-            out_labels = [None] * len(shape)
-            for src, dst in enumerate(bdims):
-                out_labels[dst] = a.labels[src]
-            out_labels = [labels.fresh() if l is None else l
-                          for l in out_labels]
-            env[eqn.outvars[0]] = _Term(out_labels, a.operands, a.contracted)
+
+            def bcast(t):
+                out_labels = [None] * len(shape)
+                for src, dst in enumerate(bdims):
+                    out_labels[dst] = t.labels[src]
+                out_labels = [labels.fresh() if l is None else l
+                              for l in out_labels]
+                return _Term(out_labels, t.operands, t.contracted)
+
+            env[eqn.outvars[0]] = map_terms(read(eqn.invars[0]), bcast)
         elif prim in ("convert_element_type",):
-            a = read(eqn.invars[0])
-            env[eqn.outvars[0]] = _Term(a.labels, a.operands, a.contracted)
+            env[eqn.outvars[0]] = map_terms(
+                read(eqn.invars[0]),
+                lambda t: _Term(t.labels, t.operands, t.contracted))
         else:
             raise EinsumMatchError(
                 f"primitive '{prim}' is outside the batched-einsum grammar")
 
-    # one einsum per jaxpr output = one batch row
-    rows = [read(v) for v in jaxpr.outvars]
+    out_sums = [_as_terms(read(v)) for v in jaxpr.outvars]
+    return jaxpr, labels, in_axis_labels, list(arg_names), out_sums
+
+
+def _insn_infos(out_sums, arg_names) -> list:
+    infos, flat = [], 0
+    for oi, terms in enumerate(out_sums):
+        for ti, term in enumerate(terms):
+            names = tuple(dict.fromkeys(
+                arg_names[idx] for idx, _ in term.operands))
+            infos.append(InsnInfo(oi, ti, names, flat))
+            flat += 1
+    return infos
+
+
+def _select_instructions(out_sums, arg_names, insn_match) -> list:
+    """Resolve *insn_match* to the list of selected instruction terms."""
+    insns = [(oi, ti, term)
+             for oi, terms in enumerate(out_sums)
+             for ti, term in enumerate(terms)]
+    if insn_match is None:
+        multi = [oi for oi, terms in enumerate(out_sums) if len(terms) > 1]
+        if multi:
+            raise EinsumMatchError(
+                f"traced output(s) {multi} are sums of "
+                f"{[len(t) for t in out_sums]} einsum instructions; pass "
+                f"insn_match= to select — a flat instruction index, an "
+                f"(out_index, term_index) pair, or a predicate over "
+                f"InsnInfo (see get_matched_einsums to enumerate them)")
+        return insns
+    infos = _insn_infos(out_sums, arg_names)
+    if callable(insn_match):
+        selected = [insn for insn, info in zip(insns, infos)
+                    if insn_match(info)]
+    elif isinstance(insn_match, tuple):
+        selected = [insn for insn, info in zip(insns, infos)
+                    if (info.out_index, info.term_index) == tuple(insn_match)]
+    else:
+        selected = [insn for insn, info in zip(insns, infos)
+                    if info.flat_index == int(insn_match)]
+    if not selected:
+        raise EinsumMatchError(
+            f"insn_match={insn_match!r} selected no instruction out of "
+            f"{[(i.out_index, i.term_index, i.arg_names) for i in infos]}")
+    return selected
+
+
+def get_a_matched_einsum(
+        fn: Callable, example_args: Sequence, *,
+        long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
+        arg_names: Optional[Sequence] = None,
+        insn_match: InsnMatchT = None) -> tuple:
+    """Match the traced *fn* against the batched-einsum grammar.
+
+    Returns ``(einsum, name_map)`` where the einsum's operand names are *fn*'s
+    parameter names and ``name_map`` maps them to input positions (parity:
+    reference ``get_a_matched_einsum``; the name map plays the bidict role).
+
+    If *fn* computes a sum of einsums, *insn_match* selects the
+    instruction(s) to match (reference parity: the loopy ``insn_match``
+    filter, loopy_utils/__init__.py:233-254): a flat instruction index, an
+    ``(out_index, term_index)`` pair, or a predicate over :class:`InsnInfo`.
+    Multiple selected instructions must form batch rows of one einsum.
+    """
+    jaxpr, labels, in_axis_labels, arg_names, out_sums = (
+        _collect_instructions(fn, example_args, arg_names=arg_names))
+    selected = _select_instructions(out_sums, arg_names, insn_match)
+    rows = [term for _oi, _ti, term in selected]
 
     # batched-einsum structure: rows share the output index space
     # (positionally) and per-position operand index spaces
@@ -229,6 +386,15 @@ def get_a_matched_einsum(
     for row in rows:
         if len(set(labels.find(l) for l in row.labels)) != len(row.labels):
             raise EinsumMatchError("output repeats an index")
+        op_roots = {labels.find(l) for _idx, ls in row.operands for l in ls}
+        orphans = [letter(l) for l in row.labels
+                   if labels.find(l) not in op_roots]
+        if orphans:
+            raise EinsumMatchError(
+                f"output ax{'es' if len(orphans) > 1 else 'is'} {orphans} "
+                f"come(s) from a broadcast, not from any operand — "
+                f"broadcast-created output axes are outside the einsum "
+                f"grammar")
 
     # operands: all rows must use the same number of operands with the same
     # per-position subscripts
@@ -264,18 +430,42 @@ def get_a_matched_einsum(
 
     in_spec = ",".join(ops_j[1] for ops_j in row_ops[0])
     einsum = batched_einsum(f"{in_spec}->{out_subs[0]}", arrays)
-    name_map = {arg_names[i]: i for i in range(len(jaxpr.invars))}
+    used = sorted({idx for row in rows for idx, _ in row.operands})
+    name_map = {arg_names[i]: i for i in used}
     return einsum, name_map
+
+
+def get_matched_einsums(
+        fn: Callable, example_args: Sequence, *,
+        long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
+        arg_names: Optional[Sequence] = None) -> list:
+    """Match every einsum instruction of *fn* separately (the enumeration
+    companion of ``insn_match``): returns a list of
+    ``(einsum, name_map, InsnInfo)`` triples, one per addend per traced
+    output."""
+    _jaxpr, _labels, _in_labels, names, out_sums = _collect_instructions(
+        fn, example_args, arg_names=arg_names)
+    infos = _insn_infos(out_sums, names)
+    out = []
+    for info in infos:
+        einsum, name_map = get_a_matched_einsum(
+            fn, example_args, long_dim_length=long_dim_length,
+            arg_names=arg_names, insn_match=info.flat_index)
+        out.append((einsum, name_map, info))
+    return out
 
 
 def match_fn_to_einsum(fn: Callable, example_args: Sequence,
                        ref_einsum: BatchedEinsum, *,
-                       long_dim_length: int = DEFAULT_LONG_DIM_LENGTH
-                       ) -> dict:
+                       long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
+                       insn_match: InsnMatchT = None) -> dict:
     """Map *ref_einsum*'s entity names onto the names used by *fn* (parity:
-    reference ``match_t_unit_to_einsum``, loopy_utils/__init__.py:471-506)."""
+    reference ``match_t_unit_to_einsum``, loopy_utils/__init__.py:471-506;
+    *insn_match* selects a sub-instruction of a composite *fn*, reference
+    :233-254)."""
     matched, _ = get_a_matched_einsum(
-        fn, example_args, long_dim_length=long_dim_length)
+        fn, example_args, long_dim_length=long_dim_length,
+        insn_match=insn_match)
     return get_substitution_mapping_between_isomorphic_batched_einsums(
         ref_einsum, matched)
 

@@ -290,7 +290,13 @@ def _timeit_device_trace(fn, arrays: dict, *, n_iters: int = 30,
     in-graph vs 1037 us on the device lane; a mass-matrix kernel 1029 vs
     ~505) — the loop's cross-iteration dependencies serialize against the
     pallas call.  Returns ``None`` when no usable trace is produced (caller
-    falls back to the in-graph protocol)."""
+    falls back to the in-graph protocol).
+
+    INVARIANT: one traced executable per *fn* call — both backends emit a
+    single ``jax.jit`` module, so the launch count identifies our module's
+    span group.  A backend dispatching several modules per launch would
+    under-report (only the biggest group is measured); if more than one
+    group matches the launch count we log a warning rather than guess."""
     import glob
     import gzip
     import json
@@ -340,13 +346,20 @@ def _timeit_device_trace(fn, arrays: dict, *, n_iters: int = 30,
                 continue
             groups[e.get("name", "?")].append(float(e.get("dur", 0.0)))
         best = None
+        n_matching = 0
         for name, durs in groups.items():
             if len(durs) >= max(3, int(0.8 * n_iters)) \
                     and name.startswith(_jit_prefix):
+                n_matching += 1
                 if best is None or len(durs) > len(best):
                     best = durs
         if not best:
             return None
+        if n_matching > 1:
+            logger.warning(
+                "device trace shows %d jit modules with ~%d launches each;"
+                " measuring only the most frequent (see the single-module"
+                " invariant in _timeit_device_trace)", n_matching, n_iters)
         best.sort()
         return best[len(best) // 2] * 1e-6
     finally:
@@ -419,6 +432,8 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
         gated = jax.lax.optimization_barrier(
             tuple(arrs[n] for n in names) + (acc,))
         arrs_g = dict(zip(names, gated[:-1]))
+        acc = gated[-1]   # keep the accumulator update downstream of the
+        # barrier too, so the whole iteration is one dependency chain
         outs = fn(_select(arrs_g, i))
         # the output barrier forces every output to fully materialize:
         # without it, XLA sinks the one-element probe slice THROUGH a

@@ -15,6 +15,11 @@ from feinsum_tpu.contraction_schedule import (
 )
 from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
 
+# "default" and "highest" both resolve to Precision.HIGHEST for >=32-bit
+# dtypes (codegen/program.py _precision) — the duplication is kept on
+# purpose: the two differ for sub-32-bit dtypes (bf16 inputs run the native
+# 1-pass MXU path under "default"), and archived precision_idx values would
+# silently change meaning if the tuple were reordered or shrunk.
 _PRECISIONS = ("default", "highest", "bf16_3x")
 
 

@@ -100,6 +100,22 @@ def test_canonicalization_with_automorphic_vertices():
              f.array("R", ("J", 10)), f.array("S", ("J", 10))]]))
 
 
+def test_visualize_smoke(tmp_path):
+    """DOT dump of the induced colored digraph (reference parity:
+    canonicalization.py:235-276)."""
+    e = make_dg_div()
+    dot = f.visualize(e)
+    assert dot.startswith("digraph")
+    # one vertex per entity: every arg name and index letter shows up
+    for name in e.all_args:
+        assert f"arg {name}" in dot
+    for ix in e.all_indices:
+        assert f"idx {ix}" in dot
+    assert "->" in dot
+    out = tmp_path / "g.dot"
+    assert f.visualize(e, str(out)) == out.read_text()
+
+
 def test_canonical_names():
     e = f.canonicalize_einsum(make_dg_div())
     assert e.all_args <= {f"arg_{i}" for i in range(len(e.all_args))}

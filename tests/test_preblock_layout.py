@@ -37,16 +37,35 @@ def test_preblock_validates_against_numpy(name, fold):
     f.validate_batched_einsum_transform(ens, tr, long_dim_length=4096)
 
 
-@pytest.mark.parametrize("length", [1999, 500, 100])
+@pytest.mark.parametrize("length", [1999, 3000, 2500])
 def test_preblock_pads_partial_tails(length):
     """Lengths not divisible by the block (or even by 8) zero-pad the
-    pre-blocked storage; results stay exact."""
-    ens = suite()["div"]
+    pre-blocked storage and the kernel crops the tail; results stay exact.
 
-    def tr(program):
-        return fused_pallas_program(program, block_long=1024, hoist=True,
-                                    dofmajor=True, preblock=True)
-    f.validate_batched_einsum_transform(ens, tr, long_dim_length=length)
+    Deliberately bypasses validate_batched_einsum_transform, which rounds
+    long_dim_length up to a block multiple and would never exercise the
+    pad/crop paths (advisor finding, ADVICE.md r1) — build the executable
+    directly at the odd length and compare against numpy."""
+    from feinsum_tpu.measure import (
+        _apply_layouts, _numpy_oracle, generate_input_arrays)
+
+    ens = suite()["div"]
+    prog = fused_pallas_program(f.generate_program(ens), block_long=1024,
+                                hoist=True, dofmajor=True, preblock=True)
+    raw = generate_input_arrays(ens, long_dim_length=length, as_numpy=True)
+    arrays = _apply_layouts(prog, {k: np.asarray(v) for k, v in raw.items()})
+    # the pre-blocked Jacobian really is padded: storage covers a block
+    # multiple strictly greater than the requested length
+    nb = arrays["Jx"].shape[0]
+    assert nb * 1024 > length
+    fn = f.build_executable(prog, long_dim_length=length)
+    outs = fn(arrays)
+    refs = _numpy_oracle(ens, raw)
+    inv = np.argsort(prog.descriptor.out_layout)
+    for out, ref in zip(outs, refs):
+        got = np.transpose(np.asarray(out, np.float64), inv)
+        np.testing.assert_allclose(got, ref, rtol=2e-5,
+                                   atol=2e-5 * np.abs(ref).max())
 
 
 def test_preblock_storage_shape_and_semantics():

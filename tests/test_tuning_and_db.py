@@ -187,3 +187,38 @@ def test_migrate_from_reference_v6(tmp_path):
          "--src", src, "--dst", str(tmp_path / "out.sqlite")],
         capture_output=True, text=True, check=True)
     assert "2 einsum classes migrated, 0 skipped" in r.stdout, r.stdout
+
+
+def test_db_hit_replay_budget():
+    """The north-star consumer path (SURVEY.md §3.2, "<10 ms DB-hit→codegen"):
+    with imports and the native canonicalizer warm, canonicalize → query the
+    shipped archive → bind the stored transform → build the executable in
+    under 10 ms (median of 20).  Compilation is NOT in this budget — jit is
+    lazy and first-run compiles amortize through the persistent compile
+    cache, exactly as the reference's caller-side generate_code_v2 is
+    outside its replay path."""
+    import time
+
+    import feinsum_tpu as f
+    from feinsum_tpu import sql_utils
+
+    ndof = 35
+    div = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(jn, ("E", 3), "float32"),
+          f.array("R", (3, ndof, ndof), "float32"),
+          f.array(un, ("E", ndof), "float32")]
+         for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+    dev = f.FakeDevice("TPU_v5_lite")
+
+    def replay():
+        tr = sql_utils.retrieve(div, dev)
+        prog = tr(f.generate_program(div))
+        return f.build_executable(prog, long_dim_length=100_000)
+
+    assert callable(replay())          # warm: imports, canon lib, sqlite
+    ts = sorted((time.perf_counter(), replay(),
+                 time.perf_counter())[::2] for _ in range(20))
+    ts = sorted(t1 - t0 for t0, t1 in ts)
+    median_ms = 1e3 * ts[len(ts) // 2]
+    assert median_ms < 10.0, f"DB-hit replay took {median_ms:.2f} ms (median)"
