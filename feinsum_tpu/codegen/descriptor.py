@@ -77,6 +77,15 @@ class ScheduleDescriptor:
     preblock_args: tuple = ()
     precision: str = "default"
     dimension_semantics: str = "arbitrary"
+    # evaluate schedule steps whose inputs are all resident (no long-axis
+    # operand, transitively) in XLA outside the kernel, once per launch,
+    # and feed the result to Pallas as a raw VMEM-resident block.  In-kernel
+    # resident steps are doubly bad: they recompute per grid step, and a
+    # Mosaic dot whose RESIDENT side is a computed intermediate runs ~5x
+    # slower than from a raw block (measured: curl prereduce 9.6 ms
+    # in-kernel vs 1.7 ms trivial; see CLAUDE.md).  Default on; the knob
+    # exists for A/B measurement.
+    hoist_resident_steps: bool = True
     vmem_limit_bytes: Optional[int] = None
     interpret: Optional[bool] = None
     multiple_results_in_one_kernel: bool = True

@@ -9,6 +9,12 @@ volume dofs and F faces x Pf face dofs:
     dv/dt = grad(u):   v'[x,e,i] += dt * sum_{r,j} J[x,r,e] D[r,i,j] u[e,j]
     du/dt = div(v):    u'[e,i]   += dt * sum_{x,r,j} J[x,r,e] D[r,i,j] v[x,e,j]
                               + face lift: sum_{f,j} L[e,f,j] flux[f,e,j]
+    flux from the state:         flux[f,e,j] = sum_i R[f,j,i] u[e,i]
+
+(the face flux is COMPUTED from the state each step via the face-restriction
+einsum R — a physically-coupled operator chain, not a fixed geometry array;
+the random geometry stands in for mesh connectivity as in the reference's
+random-input examples)
 
 Every einsum runs through the transform-database machinery: programs are
 built once, the archive is consulted for the best schedule on this device
@@ -70,13 +76,20 @@ class WaveOperator3D:
             array("L", (ndof, nfaces, nfacedof), d),
             array("Fj", (nfaces, "E"), d),
             array("flux", (nfaces, "E", nfacedof), d))
+        # face restriction: volume dofs -> per-face face dofs (couples the
+        # lift to the state; the matvec-per-element einsum family)
+        self.restrict_einsum = einsum(
+            "fji,ei->fej",
+            array("R", (nfaces, nfacedof, ndof), d),
+            array("u", ("E", ndof), d))
 
         from ..ops.layouts import dofmajor_layouts
 
         self._programs = {}
         for name, e in [("grad", self.grad_einsum),
                         ("div", self.div_einsum),
-                        ("face", self.face_einsum)]:
+                        ("face", self.face_einsum),
+                        ("restrict", self.restrict_einsum)]:
             program = generate_program(e)
             transform = None
             if db_path is not None:
@@ -123,8 +136,11 @@ class WaveOperator3D:
                 "D": geom["D"],
                 "vx": v[0], "vy": v[1], "vz": v[2]})
             div_v = vx + vy + vz                      # (P, E)
+            # flux from the state: restrict u to the faces (stored (F,Pf,E),
+            # exactly the layout the face program streams)
+            flux, = fns["restrict"]({"R": geom["Rface"], "u": u})
             lift, = fns["face"]({"L": geom["L"], "Fj": geom["Fj"],
-                                 "flux": geom["flux"]})
+                                 "flux": flux})
             new_v = v + dt * grad_u                   # grad out: (x, P, E)
             new_u = u + dt * (div_v + lift)
             return {"u": new_u, "v": new_v}
@@ -144,8 +160,9 @@ def make_wave_state(n_elements: int, *, ndof: int = 35, nfacedof: int = 15,
                     ) -> tuple:
     """(state, geometry) pytrees with random data (the reference examples
     likewise run on random inputs), in the model's dof-major storage
-    layouts: u (P, E), v (3, P, E), per-component Jacobians (3, E),
-    flux (F, Pf, E)."""
+    layouts: u (P, E), v (3, P, E), per-component Jacobians (3, E); the face
+    flux is not stored — it is computed from u each step via the
+    face-restriction matrix ``Rface`` (F, Pf, P)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
@@ -162,5 +179,5 @@ def make_wave_state(n_elements: int, *, ndof: int = 35, nfacedof: int = 15,
             "D": arr(3, ndof, ndof),
             "L": arr(nfaces, ndof, nfacedof),
             "Fj": arr(nfaces, n_elements),
-            "flux": arr(nfaces, nfacedof, n_elements)}
+            "Rface": arr(nfaces, nfacedof, ndof)}
     return state, geom

@@ -196,6 +196,33 @@ def build_pallas_executable(program, index_to_length: dict):
     desc = program.descriptor
     lengths = dict(index_to_length)
 
+    if not desc.multiple_results_in_one_kernel and e.b > 1:
+        # one pallas_call per batch row: rows lose operand-DMA sharing and
+        # cross-row CSE but each kernel is smaller (less VMEM, simpler
+        # Mosaic scheduling) — a tuner-scorable alternative (the knob the
+        # round-1 spaces declared but never interpreted, VERDICT r1 #7)
+        subfns = []
+        for row in range(e.b):
+            sub_e = e.copy(args=(e.args[row],))
+            row_names = sub_e.all_args
+            sub_desc = desc.copy(
+                multiple_results_in_one_kernel=True,
+                arg_layouts=tuple((n, p) for n, p in desc.arg_layouts
+                                  if n in row_names),
+                preblock_args=tuple(n for n in desc.preblock_args
+                                    if n in row_names))
+            subfns.append(build_pallas_executable(
+                program.copy(einsum=sub_e, descriptor=sub_desc),
+                index_to_length))
+
+        def split_fn(arrays_by_name: dict):
+            outs = []
+            for sf in subfns:
+                outs.extend(sf(arrays_by_name))
+            return tuple(outs)
+
+        return jax.jit(split_fn)
+
     if desc.flatten:
         if getattr(desc, "fold_long", 1) > 1:
             raise InvalidParameterError(
@@ -371,6 +398,102 @@ def build_pallas_executable(program, index_to_length: dict):
     compute_dtype = (jnp.dtype(desc.compute_dtype)
                      if desc.compute_dtype else None)
 
+    # {{{ hoist resident-only steps out of the kernel (descriptor knob
+    # hoist_resident_steps): a step none of whose inputs carries the grid
+    # axis (transitively) is evaluated ONCE per launch in XLA and fed to
+    # the kernel as a raw block.  In-kernel it would recompute per grid
+    # step, and a Mosaic dot contracting a COMPUTED resident operand runs
+    # ~5x slower than from a raw block (the curl-prereduce trap, CLAUDE.md).
+
+    _steps = list(zip(schedule.subscripts, schedule.result_names,
+                      schedule.arguments))
+    host_step_set: set = set()
+    if desc.hoist_resident_steps and grid_ix is not None:
+        _carries: dict = {}
+        for subs, name, step_args in _steps:
+            carried = False
+            for a in step_args:
+                if isinstance(a, EinsumOperand):
+                    if grid_ix in e.in_idx_sets[a.position]:
+                        carried = True
+                elif _carries[a.name]:
+                    carried = True
+            _carries[name] = carried
+            if not carried:
+                host_step_set.add(name)
+        host_step_set.discard(schedule.result_names[-1])
+    kernel_steps = [s for s in _steps if s[1] not in host_step_set]
+    host_steps = [s for s in _steps if s[1] in host_step_set]
+
+    # per-row plan: which pallas input slot serves each host result (rows
+    # whose host steps read identical operands share a slot — the cross-row
+    # CSE that row_result applies to in-kernel steps)
+    host_slot_of = [dict() for _ in range(n_rows)]   # row -> name -> skey
+    host_slots: dict = {}                            # skey -> (letters, slot)
+    for row in range(n_rows):
+        _env_key: dict = {}
+        for subs, name, step_args in host_steps:
+            out_sub = subs.replace(" ", "").split("->")[1]
+            fkeys = []
+            for a in step_args:
+                if isinstance(a, EinsumOperand):
+                    fkeys.append(("arg", e.args[row][a.position].name))
+                else:
+                    fkeys.append(_env_key[a.name])
+            skey = (subs, tuple(fkeys))
+            _env_key[name] = skey
+            host_slot_of[row][name] = skey
+            if skey not in host_slots:
+                host_slots[skey] = (tuple(out_sub),
+                                    f"_host{len(host_slots)}")
+    host_input_names = [slot for _, slot in host_slots.values()]
+    for letters, slot in host_slots.values():
+        stored_idx[slot] = letters
+    host_specs = [
+        pl.BlockSpec(tuple(lengths[ix] for ix in letters),
+                     (lambda g, nz=len(letters): (0,) * nz))
+        for letters, _slot in host_slots.values()]
+
+    def compute_host_arrays(arrays_by_name) -> list:
+        """Evaluate the hoisted steps in XLA (f32/f64 inputs at HIGHEST
+        precision, matching the in-kernel dot policy so the numpy-oracle
+        tolerances are unchanged)."""
+        vals: dict = {}
+        for row in range(n_rows):
+            env: dict = {}      # name -> (letters, value)
+            for subs, name, step_args in host_steps:
+                ins_sub, out_sub = subs.replace(" ", "").split("->")
+                ops = []
+                for a, s_ in zip(step_args, ins_sub.split(",")):
+                    if isinstance(a, EinsumOperand):
+                        arg = e.args[row][a.position]
+                        arr = arrays_by_name[arg.name]
+                        perm = layouts.get(arg.name)
+                        if perm is not None:
+                            arr = jnp.transpose(arr,
+                                                tuple(np.argsort(perm)))
+                        ops.append(arr)
+                    else:
+                        letters, val = env[a.name]
+                        if tuple(s_) != letters:
+                            val = jnp.transpose(
+                                val, [letters.index(c) for c in s_])
+                        ops.append(val)
+                skey = host_slot_of[row][name]
+                slot = host_slots[skey][1]
+                if slot in vals:
+                    env[name] = (host_slots[skey][0], vals[slot])
+                    continue
+                hp = (jax.lax.Precision.HIGHEST if all(
+                    jnp.dtype(o.dtype).itemsize >= 4 for o in ops) else None)
+                val = jnp.einsum(f"{ins_sub}->{out_sub}", *ops,
+                                 precision=hp)
+                env[name] = (host_slots[skey][0], val)
+                vals[slot] = val
+        return [vals[slot] for slot in host_input_names]
+
+    # }}}
+
     # MXU precision for in-kernel dots: f32/f64 default to HIGHEST (bf16_6x
     # passes) so results meet the numpy-oracle tolerance; bf16/low-precision
     # compute dtypes keep the fast single-pass path.  descriptor.precision
@@ -401,9 +524,20 @@ def build_pallas_executable(program, index_to_length: dict):
         env = {}
         env_key = {}
         result = None
-        for subs, name, step_args in zip(schedule.subscripts,
-                                         schedule.result_names,
-                                         schedule.arguments):
+
+        def host_rep(name):
+            """Rep of a hoisted-step result (raw resident block)."""
+            letters, slot = host_slots[host_slot_of[row][name]]
+            hkey = ("host", slot)
+            if hkey not in rep_cache:
+                blk = blocks_by_name[slot]
+                if compute_dtype is not None:
+                    blk = blk.astype(compute_dtype)
+                rep_cache[hkey] = rep_from_block(
+                    blk, letters, grid_ix, lengths_kernel)
+            return rep_cache[hkey], hkey
+
+        for subs, name, step_args in kernel_steps:
             ins_sub, out_sub = subs.replace(" ", "").split("->")
             ins_subs = ins_sub.split(",")
             factors = []
@@ -433,6 +567,8 @@ def build_pallas_executable(program, index_to_length: dict):
                     factor_keys.append(("arg", arg.name, stored_use, s))
                 else:
                     assert isinstance(a, IntermediateResult)
+                    if a.name not in env and a.name in host_slot_of[row]:
+                        env[a.name], env_key[a.name] = host_rep(a.name)
                     factors.append(env[a.name])
                     factor_keys.append(env_key[a.name])
             # cross-row CSE (the hoist_cses analog, reference cse.py:307):
@@ -531,11 +667,13 @@ def build_pallas_executable(program, index_to_length: dict):
             merged = merged[..., :block_long]
         return merged
 
+    all_input_names = list(arg_names) + host_input_names
+
     def kernel(*refs):
-        in_refs = refs[:len(arg_names)]
-        out_refs = refs[len(arg_names):]
+        in_refs = refs[:len(all_input_names)]
+        out_refs = refs[len(all_input_names):]
         blocks = {name: _load_block(name, ref)
-                  for name, ref in zip(arg_names, in_refs)}
+                  for name, ref in zip(all_input_names, in_refs)}
 
         if fold_elementwise:
             for row in range(n_rows):
@@ -606,7 +744,7 @@ def build_pallas_executable(program, index_to_length: dict):
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs,
+        in_specs=in_specs + host_specs,
         out_specs=tuple(out_specs) if n_rows > 1 else out_specs[0],
         out_shape=tuple(out_shapes) if n_rows > 1 else out_shapes[0],
         interpret=interpret,
@@ -614,7 +752,10 @@ def build_pallas_executable(program, index_to_length: dict):
     )
 
     def fn(arrays_by_name: dict):
-        outs = call(*[arrays_by_name[name] for name in arg_names])
+        host_arrays = (compute_host_arrays(arrays_by_name)
+                       if host_steps else [])
+        outs = call(*[arrays_by_name[name] for name in arg_names],
+                    *host_arrays)
         return outs if n_rows > 1 else (outs,)
 
     return jax.jit(fn)

@@ -88,11 +88,16 @@ def prereduce_resident_private(einsum, schedule):
         arguments=tuple(pre_args) + tuple(new_args))
 
 
+VMEM_MB_CHOICES = (64, 100, 128)
+
+
 def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          parallel_grid: bool = True, dofmajor: bool = False,
                          fold: bool = False, preblock: bool = False,
                          precision_3x: bool = False, jfold: bool = False,
-                         prereduce: bool = False,
+                         prereduce: bool = False, vmem_idx=None,
+                         split_rows: bool = False, accum_f32: bool = False,
+                         host_hoist: bool = True,
                          **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
     contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
@@ -171,6 +176,23 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
         desc["preblock_args"] = names
     if precision_3x:
         desc["precision"] = "bf16_3x"
+    # widened knobs (VERDICT r1 #7): Mosaic VMEM cap, per-row kernel split,
+    # f32 accumulation for sub-32-bit inputs, resident-step hoisting A/B
+    if vmem_idx is not None:
+        desc["vmem_limit_bytes"] = VMEM_MB_CHOICES[int(vmem_idx)] * 2 ** 20
+    if split_rows:
+        if program.einsum.b <= 1:
+            raise InvalidParameterError(
+                "split_rows needs a multi-row batched einsum")
+        desc["multiple_results_in_one_kernel"] = False
+    if accum_f32:
+        if all(dt.itemsize >= 4
+               for dt in program.einsum.arg_to_dtype.values()):
+            raise InvalidParameterError(
+                "accum_f32 only applies to sub-32-bit input dtypes")
+        desc["accum_dtype"] = "float32"
+    if not host_hoist:
+        desc["hoist_resident_steps"] = False
     return program.copy(schedule=schedule).with_descriptor(
         backend="pallas",
         block_long=block_long,

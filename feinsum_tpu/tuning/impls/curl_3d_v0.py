@@ -18,6 +18,10 @@ from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
 from feinsum_tpu.tuning.impls._common import fused_pallas_program
 
 
+def _maybe_bool(cond):
+    return BoolParameter() if cond else IntParameter(0, 0)
+
+
 @transform_param("log2_block", lambda e: IntParameter(8, 16))
 @transform_param("dofmajor", lambda e: BoolParameter())
 @transform_param("fold", lambda e: BoolParameter())
@@ -27,14 +31,21 @@ from feinsum_tpu.tuning.impls._common import fused_pallas_program
 @transform_param("prereduce", lambda e: BoolParameter())
 @transform_param("hoist", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
+@transform_param("vmem_idx", lambda e: IntParameter(0, 2))
+@transform_param("split_rows", lambda e: _maybe_bool(e.b > 1))
+@transform_param("accum_f32", lambda e: _maybe_bool(
+    any(dt.itemsize < 4 for dt in e.arg_to_dtype.values())))
+@transform_param("host_hoist", lambda e: BoolParameter())
 def transform(program, log2_block, dofmajor, hoist, parallel_grid,
               fold=False, preblock=False, precision_3x=False, jfold=False,
-              prereduce=False):
+              prereduce=False, vmem_idx=None, split_rows=False,
+              accum_f32=False, host_hoist=True):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=hoist,
         parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold,
         preblock=preblock, precision_3x=precision_3x, jfold=jfold,
-        prereduce=prereduce)
+        prereduce=prereduce, vmem_idx=vmem_idx, split_rows=bool(split_rows),
+        accum_f32=bool(accum_f32), host_hoist=bool(host_hoist))
 
 
 if __name__ == "__main__":

@@ -85,3 +85,64 @@ def test_jfold_space_point_roundtrips(tmp_path):
     assert dict(q.transform_params)["jfold"] is True
     f.validate_batched_einsum_transform(ens, q.transform,
                                         long_dim_length=4096)
+
+
+def test_hoist_resident_steps_curl_prereduce():
+    """prereduce('rij->ij') with hoist_resident_steps=True evaluates the
+    resident reduction in XLA outside the kernel (the Mosaic
+    computed-resident-dot trap, CLAUDE.md); results must match numpy, and
+    the A/B knob must change the program but not the numerics."""
+    ndof = 6
+    curl = f.batched_einsum(
+        "e,rij,ej->ei",
+        [[f.array(j, ("E",), "float32"),
+          f.array("D", (3, ndof, ndof), "float32"),
+          f.array(u, ("E", ndof), "float32")]
+         for j, u in [("Jy", "uz"), ("Jz", "ux"), ("Jx", "uy")]])
+
+    for host in (True, False):
+        def tr(program, host=host):
+            return fused_pallas_program(
+                program, block_long=64, hoist=False, dofmajor=True,
+                prereduce=True, host_hoist=host)
+        f.validate_batched_einsum_transform(curl, tr, long_dim_length=256)
+
+
+def test_hoist_resident_steps_jfold_div():
+    """div's jfold schedule prereduces nothing but extracts resident-only
+    contraction steps on some paths; hoisting must stay numerically exact."""
+    ens = suite()["div"]
+
+    def tr(program):
+        return fused_pallas_program(program, block_long=128, hoist=True,
+                                    dofmajor=True, jfold=True,
+                                    host_hoist=True)
+    f.validate_batched_einsum_transform(ens, tr, long_dim_length=512)
+
+
+def test_split_rows_matches_fused():
+    """multiple_results_in_one_kernel=False (split_rows) builds one kernel
+    per batch row; outputs must equal the fused kernel's."""
+    import numpy as np
+    from feinsum_tpu.measure import (_apply_layouts, generate_input_arrays)
+
+    ens = suite()["div"]
+
+    def tr(split):
+        def t(program):
+            return fused_pallas_program(
+                program, block_long=128, hoist=True, dofmajor=True,
+                split_rows=split)
+        return t
+    f.validate_batched_einsum_transform(ens, tr(True), long_dim_length=512)
+
+    p_fused = tr(False)(f.generate_program(ens))
+    p_split = tr(True)(f.generate_program(ens))
+    arrays = _apply_layouts(
+        p_fused, generate_input_arrays(ens, long_dim_length=512))
+    outs_f = f.build_executable(p_fused, long_dim_length=512)(arrays)
+    outs_s = f.build_executable(p_split, long_dim_length=512)(arrays)
+    assert len(outs_f) == len(outs_s) == 3
+    for a, b in zip(outs_f, outs_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

@@ -173,8 +173,9 @@ def test_wave_model_numerics():
     div = sum(np.einsum("es,sij,ej->ei", g[f"J{x}"].T, g["D"],
                         v[i].reshape(E, ndof))
               for i, x in enumerate("xyz"))
+    flux = np.einsum("fji,ei->fej", g["Rface"], u)   # from the state
     lift = np.einsum("ifj,fe,fej->ei", g["L"].transpose(1, 0, 2),
-                     g["Fj"], g["flux"].transpose(0, 2, 1))
+                     g["Fj"], flux)
     exp_u = u + dt * (div + lift)
     exp_v = v + dt * grad.transpose(0, 1, 2)
 
