@@ -86,6 +86,11 @@ class ScheduleDescriptor:
     # in-kernel vs 1.7 ms trivial; see CLAUDE.md).  Default on; the knob
     # exists for A/B measurement.
     hoist_resident_steps: bool = True
+    # pack an unrolled output axis carried by a 2D resident factor into the
+    # MXU M dimension (8-aligned pad + stack; see kernel_lowering.lower_step
+    # docstring) — e.g. grad's 3 r-dots of M=35 become one dot of M=120,
+    # 3x fewer MXU tile passes
+    mfold: bool = False
     vmem_limit_bytes: Optional[int] = None
     interpret: Optional[bool] = None
     multiple_results_in_one_kernel: bool = True

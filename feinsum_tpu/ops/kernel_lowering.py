@@ -120,8 +120,15 @@ def _product(pieces, target_axes):
 
 def lower_step(factor_reps, out_letters, e_letter, lengths, *,
                accum_dtype=None, big_order_pref=None,
-               dot_precision=None) -> Rep:
-    """Compute one schedule step from factor Reps; returns the result Rep."""
+               dot_precision=None, mfold=False) -> Rep:
+    """Compute one schedule step from factor Reps; returns the result Rep.
+
+    *mfold* packs an unrolled output axis carried only by a resident factor
+    into the MXU M dimension: e.g. grad's ``tmp[r] = D[r] @ u`` runs 3
+    separate (35,35)@(35,c) dots, each wasting 93/128 of its M tile; with
+    mfold the 3 D slices are zero-padded to 8-aligned rows (35->40) and
+    stacked to one (120,35) operand — ONE dot, 3x fewer MXU tile passes,
+    and the per-r result slices start at sublane-aligned offsets (40r)."""
     import jax
     import jax.numpy as jnp
 
@@ -215,6 +222,43 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
             if l is not None)
     else:
         result_big = tuple(result_letters)
+
+    # mfold fast path (see docstring): one unrolled output axis, carried by
+    # a single 2D resident factor, result oriented (n, e) so the packed
+    # slices come back out on 8-aligned sublane rows
+    if (mfold and len(out_small) == 1 and not sum_small
+            and k_ax is not None and n_ax is not None
+            and e_present and e_in_out
+            and result_big == (n_ax, e_letter)):
+        r_ax = out_small[0]
+        carriers = [rep for rep in reps if r_ax in rep.small]
+        others = [rep for rep in reps if r_ax not in rep.small]
+        if (len(carriers) == 1
+                and set(carriers[0].big) == {n_ax, k_ax}
+                and carriers[0].small == (r_ax,)
+                and all(not rep.small for rep in others)):
+            carrier = carriers[0]
+            nlen = lengths[n_ax]
+            padded = nlen + ((-nlen) % 8)
+            R = lengths[r_ax]
+            parts = []
+            for v in range(R):
+                piece = carrier.get({r_ax: v})
+                if carrier.big != (n_ax, k_ax):
+                    piece = piece.swapaxes(0, 1)
+                if padded != nlen:
+                    piece = jnp.pad(piece, ((0, padded - nlen), (0, 0)))
+                parts.append(piece)
+            stacked = jnp.concatenate(parts, axis=0)   # (R*padded, k)
+            pieces = ([((n_ax, k_ax), stacked)]
+                      + [(rep.big, rep.data[()]) for rep in others])
+            big_core = _contract_pieces(
+                pieces, e_letter, False, k_ax, n_ax, (n_ax, e_letter),
+                accum_dtype, dot_precision, jax, jnp)
+            result = {(v,): big_core[v * padded: v * padded + nlen, :]
+                      for v in range(R)}
+            return Rep(out_small, result_big, result)
+
     result = {}
     for out_key in itertools.product(*[range(lengths[l]) for l in out_small]):
         out_combo = dict(zip(out_small, out_key))

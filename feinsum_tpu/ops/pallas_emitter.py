@@ -578,7 +578,7 @@ def build_pallas_executable(program, index_to_length: dict):
                 step_cache[skey] = lower_step(
                     factors, tuple(out_sub), grid_ix, lengths_kernel,
                     accum_dtype=accum, big_order_pref=out_idx,
-                    dot_precision=dot_precision)
+                    dot_precision=dot_precision, mfold=desc.mfold)
             env[name] = step_cache[skey]
             env_key[name] = skey
             result = env[name]

@@ -97,7 +97,7 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          precision_3x: bool = False, jfold: bool = False,
                          prereduce: bool = False, vmem_idx=None,
                          split_rows: bool = False, accum_f32: bool = False,
-                         host_hoist: bool = True,
+                         host_hoist: bool = True, mfold: bool = False,
                          **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
     contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
@@ -193,6 +193,8 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
         desc["accum_dtype"] = "float32"
     if not host_hoist:
         desc["hoist_resident_steps"] = False
+    if mfold:
+        desc["mfold"] = True
     return program.copy(schedule=schedule).with_descriptor(
         backend="pallas",
         block_long=block_long,

@@ -29,16 +29,18 @@ def _maybe_bool(cond):
 @transform_param("accum_f32", lambda e: _maybe_bool(
     any(dt.itemsize < 4 for dt in e.arg_to_dtype.values())))
 @transform_param("host_hoist", lambda e: BoolParameter())
+@transform_param("mfold", lambda e: BoolParameter())
 def transform(program, log2_block, dofmajor, hoist, parallel_grid,
               fold=False, preblock=False, precision_3x=False, jfold=False,
               vmem_idx=None, split_rows=False, accum_f32=False,
-              host_hoist=True):
+              host_hoist=True, mfold=False):
     return fused_pallas_program(
         program, block_long=2 ** log2_block, hoist=hoist,
         parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold,
         preblock=preblock, precision_3x=precision_3x, jfold=jfold,
         vmem_idx=vmem_idx, split_rows=bool(split_rows),
-        accum_f32=bool(accum_f32), host_hoist=bool(host_hoist))
+        accum_f32=bool(accum_f32), host_hoist=bool(host_hoist),
+        mfold=bool(mfold))
 
 
 if __name__ == "__main__":

@@ -16,7 +16,9 @@ def _maybe_bool(cond):
     return BoolParameter() if cond else IntParameter(0, 0)
 
 
-@transform_param("log2_block", lambda e: IntParameter(8, 16))
+# block cap 2^18 (was 2^16): the matvec class keeps gaining from bigger
+# fold blocks through b15-b16 (scripts/tpu_grad3_probe.py / tpu_mfold_probe)
+@transform_param("log2_block", lambda e: IntParameter(8, 18))
 @transform_param("dofmajor", lambda e: BoolParameter())
 @transform_param("fold", lambda e: BoolParameter())
 @transform_param("preblock", lambda e: BoolParameter())

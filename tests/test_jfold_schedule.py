@@ -146,3 +146,42 @@ def test_split_rows_matches_fused():
     for a, b in zip(outs_f, outs_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_mfold_packs_resident_dots():
+    """mfold packs grad's 3 per-plane r-dots (M=35 each) into one M=120 dot
+    with 8-aligned zero-pad; numerics must be exact and the packed (120, k)
+    operand must actually reach the contraction."""
+    import feinsum_tpu.ops.kernel_lowering as kl
+
+    grad = f.einsum("xre,rij,ej->xei",
+                    f.array("J", (3, 3, "E"), "float32"),
+                    f.array("D", (3, 35, 35), "float32"),
+                    f.array("u", ("E", 35), "float32"))
+
+    def tr(program):
+        return fused_pallas_program(program, block_long=512, hoist=True,
+                                    dofmajor=True, fold=True, preblock=True,
+                                    mfold=True)
+    f.validate_batched_einsum_transform(grad, tr, long_dim_length=512)
+
+    hits = []
+    orig = kl._contract_pieces
+
+    def spy(pieces, *a, **k):
+        hits.extend(tuple(x.shape) for _, x in pieces)
+        return orig(pieces, *a, **k)
+
+    kl._contract_pieces = spy
+    try:
+        from feinsum_tpu.codegen.program import _build_executable_cached
+        _build_executable_cached.cache_clear()   # force a re-trace
+        from feinsum_tpu.measure import (_apply_layouts,
+                                         generate_input_arrays)
+        p = tr(f.generate_program(grad))
+        fn = f.build_executable(p, long_dim_length=512)
+        fn(_apply_layouts(p, generate_input_arrays(grad,
+                                                   long_dim_length=512)))
+    finally:
+        kl._contract_pieces = orig
+    assert (120, 35) in hits    # 3 x pad(35->40) slices stacked along M
