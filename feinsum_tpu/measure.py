@@ -57,9 +57,13 @@ MIN_TIMING_SECS = 2.0
 DTYPE_TO_RTOL = {
     np.dtype("float16"): 1e-2,
     np.dtype("float32"): 2e-5,
-    np.dtype("float64"): 1e-10,
+    # f64 at the 1e-12 north star (BASELINE.json "bitwise-tolerant"): the
+    # f64 route is XLA's software-emulated double arithmetic (Mosaic has no
+    # f64 dots), which holds 1e-12 comfortably.  The reference used 1e-10
+    # (measure.py:57-63); we tighten 100x.
+    np.dtype("float64"): 1e-12,
     np.dtype("complex64"): 2e-5,
-    np.dtype("complex128"): 1e-10,
+    np.dtype("complex128"): 1e-12,
 }
 
 

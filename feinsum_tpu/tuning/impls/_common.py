@@ -91,6 +91,15 @@ def prereduce_resident_private(einsum, schedule):
 VMEM_MB_CHOICES = (64, 100, 128)
 
 
+def resolve_block(log2_block: int, blkc128: int = 0) -> int:
+    """Block size from the space params: ``blkc128 > 0`` selects a
+    128-lane-granular fold block (block_long = 1024 * blkc128, i.e. blk_c =
+    128 * blkc128 at fold 8) — the measured optima (blkc 640, 1536, 2560)
+    sit between the log2 grid's points; ``blkc128 == 0`` keeps the legacy
+    power-of-two ``2**log2_block``."""
+    return 1024 * int(blkc128) if blkc128 else 2 ** int(log2_block)
+
+
 def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          parallel_grid: bool = True, dofmajor: bool = False,
                          fold: bool = False, preblock: bool = False,

@@ -9,7 +9,7 @@ Reference counterpart: ``tuning/impls/xre_rij_ej_to_xei.py`` /
 from __future__ import annotations
 
 from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
-from feinsum_tpu.tuning.impls._common import fused_pallas_program
+from feinsum_tpu.tuning.impls._common import fused_pallas_program, resolve_block
 
 
 def _maybe_bool(cond):
@@ -17,6 +17,7 @@ def _maybe_bool(cond):
 
 
 @transform_param("log2_block", lambda e: IntParameter(8, 16))
+@transform_param("blkc128", lambda e: IntParameter(0, 32))
 @transform_param("dofmajor", lambda e: BoolParameter())
 @transform_param("fold", lambda e: BoolParameter())
 @transform_param("preblock", lambda e: BoolParameter())
@@ -30,12 +31,12 @@ def _maybe_bool(cond):
     any(dt.itemsize < 4 for dt in e.arg_to_dtype.values())))
 @transform_param("host_hoist", lambda e: BoolParameter())
 @transform_param("mfold", lambda e: BoolParameter())
-def transform(program, log2_block, dofmajor, hoist, parallel_grid,
+def transform(program, log2_block, blkc128=0, *, dofmajor, hoist, parallel_grid,
               fold=False, preblock=False, precision_3x=False, jfold=False,
               vmem_idx=None, split_rows=False, accum_f32=False,
               host_hoist=True, mfold=False):
     return fused_pallas_program(
-        program, block_long=2 ** log2_block, hoist=hoist,
+        program, block_long=resolve_block(log2_block, blkc128), hoist=hoist,
         parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold,
         preblock=preblock, precision_3x=precision_3x, jfold=jfold,
         vmem_idx=vmem_idx, split_rows=bool(split_rows),
