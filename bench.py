@@ -117,6 +117,13 @@ def extended_suite():
         ("dg_grad_ndof4_P1", make_grad(4), None),
         ("dg_curl_ndof35", make_curl(35), None),
         ("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6),
+        # bandwidth-bound rows (BASELINE.md: ij,j->i 99.4 / ij->i 41.6)
+        ("vecmat_ndof35", f.einsum("ej,j->e",
+                                   f.array("A", ("E", 35), "float32"),
+                                   f.array("x", (35,), "float32")), 99.4),
+        ("rowsum_ndof35", f.einsum("ej->e",
+                                   f.array("A", ("E", 35), "float32")),
+         41.6),
     ]
 
 # }}}

@@ -28,7 +28,11 @@ class ScheduleDescriptor:
         (fused single kernel gridded over :attr:`grid_index`).
     :attr grid_index: index letter the Pallas grid iterates over — normally
         the parametric "long" axis (DG element axis).  ``None`` = choose
-        automatically (the unique SizeParam axis if any).
+        automatically (the unique SizeParam axis if any).  A TUPLE of
+        concrete output letters instead selects the multi-axis grid path
+        for dense tensor contractions (one grid cell per combination; each
+        cell computes and stores its output slice in place — the
+        COGENT-analog first-party TC kernel).
     :attr block_long: elements of the long axis processed per grid step.
     :attr accum_dtype: accumulation dtype for contractions (e.g. "float32"
         for bf16 inputs); ``None`` = operand dtype.

@@ -181,6 +181,177 @@ def _try_build_flat_elementwise(program, lengths):
     return jax.jit(fn)
 
 
+def _build_multigrid(program, lengths: dict):
+    """Pallas path for CONCRETE einsums gridded over a tuple of output axes
+    (``descriptor.grid_index = ("a", "d")``): each grid cell computes one
+    slice of the output and writes it directly in the stored layout.
+
+    This is the first-party tensor-contraction kernel (the COGENT-space
+    analog, reference tuning/impls/cogent.py:52-115): XLA handles
+    MXU-tiling of big GEMM-able TCs well, but expansion-heavy cases (rank-6
+    outputs, tiny contracted axes — e.g. TCCG #35 'dfgb,geac->abcdef')
+    measured ~5% of the bandwidth roofline because XLA materializes the
+    output through transposes; writing each tile once, in place, from VMEM
+    dots/broadcasts removes that entirely."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..codegen.program import output_dtype
+    from ..contraction_schedule import EinsumOperand, IntermediateResult
+    from .kernel_lowering import lower_step, rep_from_block
+
+    e = program.einsum
+    desc = program.descriptor
+    grid_letters = tuple(desc.grid_index)
+    for l in grid_letters:
+        if l not in e.out_idx_set:
+            raise InvalidParameterError(
+                f"multi-axis grid letter {l!r} must be an output axis")
+        if isinstance(e.index_to_dim_length[l], SizeParam):
+            raise InvalidParameterError(
+                "multi-axis grids require concrete axes")
+    if desc.fold_long > 1 or desc.preblock_args or desc.flatten:
+        raise InvalidParameterError(
+            "multi-axis grids do not compose with fold/preblock/flatten")
+
+    arg_idx = _arg_index_sets(e)
+    layouts = desc.arg_layouts_map
+    stored_idx = {}
+    for name, idx_set in arg_idx.items():
+        perm = layouts.get(name)
+        stored_idx[name] = (tuple(idx_set[p] for p in perm)
+                            if perm is not None else tuple(idx_set))
+
+    grid = tuple(int(lengths[l]) for l in grid_letters)
+    gpos = {l: i for i, l in enumerate(grid_letters)}
+
+    def spec_of(idx_tuple):
+        blk = tuple(1 if l in gpos else int(lengths[l]) for l in idx_tuple)
+
+        def imap(*gids, idx_tuple=idx_tuple):
+            return tuple(gids[gpos[l]] if l in gpos else 0
+                         for l in idx_tuple)
+        return pl.BlockSpec(blk, imap)
+
+    arg_names = sorted(e.all_args)
+    in_specs = [spec_of(stored_idx[name]) for name in arg_names]
+
+    out_dtypes = [output_dtype(e, r) for r in range(e.b)]
+    if desc.out_layout is not None:
+        out_idx = tuple(e.out_idx_set[p] for p in desc.out_layout)
+    else:
+        out_idx = tuple(e.out_idx_set)
+    out_specs = [spec_of(out_idx) for _ in range(e.b)]
+    out_shapes = [jax.ShapeDtypeStruct(
+        tuple(int(lengths[l]) for l in out_idx), dt) for dt in out_dtypes]
+
+    lengths_kernel = dict(lengths)
+    for l in grid_letters:
+        lengths_kernel[l] = 1
+
+    accum = jnp.dtype(desc.accum_dtype) if desc.accum_dtype else None
+    compute_dtype = (jnp.dtype(desc.compute_dtype)
+                     if desc.compute_dtype else None)
+    prec_name = (desc.precision or "default").lower()
+    eff_dtype = compute_dtype or max(
+        (dt for dt in e.arg_to_dtype.values()), key=lambda d: d.itemsize)
+    if prec_name == "default":
+        dot_precision = (jax.lax.Precision.HIGHEST
+                         if np.dtype(eff_dtype).itemsize >= 4 else None)
+    elif prec_name == "fastest":
+        dot_precision = None
+    elif prec_name == "bf16_3x":
+        dot_precision = "bf16_3x"
+    else:
+        dot_precision = getattr(jax.lax.Precision, prec_name.upper())
+
+    schedule = program.schedule
+    n_rows = e.b
+
+    def kernel(*refs):
+        in_refs = dict(zip(arg_names, refs[:len(arg_names)]))
+        out_refs = refs[len(arg_names):]
+        rep_cache: dict = {}
+        step_cache: dict = {}
+        for row in range(n_rows):
+            env: dict = {}
+            env_key: dict = {}
+            result = None
+            for subs, name, step_args in zip(schedule.subscripts,
+                                             schedule.result_names,
+                                             schedule.arguments):
+                ins_sub, out_sub = subs.replace(" ", "").split("->")
+                factors, factor_keys = [], []
+                for a, s in zip(step_args, ins_sub.split(",")):
+                    if isinstance(a, EinsumOperand):
+                        arg = e.args[row][a.position]
+                        use_letters = e.in_idx_sets[a.position]
+                        key = (arg.name, stored_idx[arg.name])
+                        if key not in rep_cache:
+                            blk = in_refs[arg.name][...]
+                            if compute_dtype is not None:
+                                blk = blk.astype(compute_dtype)
+                            rep_cache[key] = rep_from_block(
+                                blk, stored_idx[arg.name], None,
+                                lengths_kernel)
+                        rep = rep_cache[key]
+                        trans = dict(zip(use_letters, s))
+                        if any(trans[l] != l for l in use_letters):
+                            rep = rep.rename(trans)
+                        factors.append(rep)
+                        factor_keys.append(("arg", arg.name, s))
+                    else:
+                        assert isinstance(a, IntermediateResult)
+                        factors.append(env[a.name])
+                        factor_keys.append(env_key[a.name])
+                skey = (subs, tuple(factor_keys))
+                if skey not in step_cache:
+                    step_cache[skey] = lower_step(
+                        factors, tuple(out_sub), None, lengths_kernel,
+                        accum_dtype=accum, big_order_pref=out_idx,
+                        dot_precision=dot_precision)
+                env[name] = step_cache[skey]
+                env_key[name] = skey
+                result = env[name]
+            # store: small-axis combos index the block; big axes are slices
+            for key, val in result.data.items():
+                combo = dict(zip(result.small, key))
+                idx = []
+                for l in out_idx:
+                    if l in result.small:
+                        idx.append(combo[l])
+                    else:
+                        idx.append(slice(None))
+                out_big = tuple(l for l in out_idx if l not in result.small)
+                if len(result.big) == 2 and tuple(result.big) != out_big:
+                    val = val.swapaxes(0, 1)
+                out_refs[row][tuple(idx)] = val.astype(out_dtypes[row])
+
+    interpret = desc.interpret
+    if interpret is None:
+        interpret = not _on_tpu()
+    kw = {}
+    if not interpret:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=(desc.dimension_semantics,) * len(grid),
+            vmem_limit_bytes=int(desc.vmem_limit_bytes or 100 * 1024 * 1024))
+
+    call = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if n_rows > 1 else out_specs[0],
+        out_shape=tuple(out_shapes) if n_rows > 1 else out_shapes[0],
+        interpret=interpret, **kw)
+
+    def fn(arrays_by_name: dict):
+        outs = call(*[arrays_by_name[name] for name in arg_names])
+        return outs if n_rows > 1 else (outs,)
+
+    return jax.jit(fn)
+
+
 def build_pallas_executable(program, index_to_length: dict):
     """Compile *program* with the Pallas backend; returns
     ``fn(arrays_by_name) -> tuple`` like the XLA backend."""
@@ -195,6 +366,9 @@ def build_pallas_executable(program, index_to_length: dict):
     e = program.einsum
     desc = program.descriptor
     lengths = dict(index_to_length)
+
+    if isinstance(desc.grid_index, tuple):
+        return _build_multigrid(program, lengths)
 
     if not desc.multiple_results_in_one_kernel and e.b > 1:
         # one pallas_call per batch row: rows lose operand-DMA sharing and

@@ -11,17 +11,20 @@ from feinsum_tpu.tuning import BoolParameter, IntParameter, transform_param
 from feinsum_tpu.tuning.impls._common import fused_pallas_program
 
 
-@transform_param("log2_block", lambda e: IntParameter(8, 16))
+@transform_param("log2_block", lambda e: IntParameter(8, 18))
+@transform_param("blkc128", lambda e: IntParameter(0, 32))
 @transform_param("dofmajor", lambda e: BoolParameter())
 @transform_param("fold", lambda e: BoolParameter())
 @transform_param("flatten", lambda e: BoolParameter())
 @transform_param("parallel_grid", lambda e: BoolParameter())
-def transform(program, log2_block, dofmajor, flatten, parallel_grid,
-              fold=False):
+@transform_param("vmem_idx", lambda e: IntParameter(0, 2))
+def transform(program, log2_block, blkc128=0, *, dofmajor, flatten,
+              parallel_grid, fold=False, vmem_idx=None):
+    from feinsum_tpu.tuning.impls._common import resolve_block
     return fused_pallas_program(
-        program, block_long=2 ** log2_block, hoist=False,
+        program, block_long=resolve_block(log2_block, blkc128), hoist=False,
         parallel_grid=parallel_grid, dofmajor=dofmajor, fold=fold,
-        flatten=flatten)
+        flatten=flatten, vmem_idx=vmem_idx)
 
 
 if __name__ == "__main__":

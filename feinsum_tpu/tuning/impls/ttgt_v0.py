@@ -33,6 +33,23 @@ def _perm(ndim: int, idx: int):
     return perms[idx % len(perms)]
 
 
+def _natural_out_perm(e, pa, pb):
+    """Permutation putting the output in GEMM-natural order for the chosen
+    operand layouts — lhs free axes (in stored order) then rhs free axes —
+    so XLA writes the contraction result once, with NO output transpose.
+    On expansion-heavy high-rank outputs the transpose IS the pathology
+    (TCCG #35 measured ~5% of the bandwidth roofline; the natural layout
+    removes it), and a random walk over rank! permutations cannot find
+    this point."""
+    a_idx = [e.in_idx_sets[0][p] for p in pa]
+    b_idx = [e.in_idx_sets[1][p] for p in pb]
+    out_set = set(e.out_idx_set)
+    natural = ([ix for ix in a_idx if ix in out_set]
+               + [ix for ix in b_idx if ix in out_set
+                  and ix not in a_idx])
+    return tuple(e.out_idx_set.index(ix) for ix in natural)
+
+
 @transform_param("perm_a", lambda e: IntParameter(
     0, _n_perms(len(e.in_idx_sets[0])) - 1))
 @transform_param("perm_b", lambda e: IntParameter(
@@ -41,23 +58,37 @@ def _perm(ndim: int, idx: int):
     0, _n_perms(len(e.out_idx_set)) - 1))
 @transform_param("precision_idx",
                  lambda e: IntParameter(0, len(_PRECISIONS) - 1))
-@einsum_arg("arg_names", lambda e: tuple(a.name for a in e.args[0]))
-def transform(program, arg_names, perm_a, perm_b, perm_out, precision_idx):
+@transform_param("natural_out", lambda e: IntParameter(0, 1))
+def transform(program, perm_a, perm_b, perm_out, precision_idx,
+              natural_out=0):
     e = program.einsum
     if e.n != 2 or e.b != 1 or e.all_size_params:
         raise InvalidParameterError(
             "ttgt_v0 expects a dense 2-operand single-row contraction")
+    # operand names MUST come from the program being transformed, not from
+    # an @einsum_arg of the einsum the params were bound against: on the
+    # archive-replay path that einsum is the CANONICAL one (names arg_0,
+    # arg_1), which broke replay onto user-named programs (bench r2:
+    # KeyError 'arg_0').  The permutations themselves are name-free and
+    # transfer because canonicalization fixes the operand order.
+    arg_names = tuple(a.name for a in e.args[0])
     layouts = (
         (arg_names[0], _perm(len(e.in_idx_sets[0]), perm_a)),
         (arg_names[1], _perm(len(e.in_idx_sets[1]), perm_b)),
     )
+    pa = _perm(len(e.in_idx_sets[0]), perm_a)
+    pb = _perm(len(e.in_idx_sets[1]), perm_b)
+    if natural_out:
+        out_perm = _natural_out_perm(e, pa, pb)
+    else:
+        out_perm = _perm(len(e.out_idx_set), perm_out)
     return program.copy(
         schedule=get_trivial_contraction_schedule(e),
         descriptor=ScheduleDescriptor(
             backend="xla",
             precision=_PRECISIONS[precision_idx],
             arg_layouts=layouts,
-            out_layout=_perm(len(e.out_idx_set), perm_out)))
+            out_layout=out_perm))
 
 
 if __name__ == "__main__":

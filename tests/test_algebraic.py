@@ -53,6 +53,11 @@ def test_ttgt_impl_on_tccg():
     e = f.get_tccg_benchmark(3, dtype="float32")
     pt = get_transform_func_from_module_path("ttgt_v0")
     space = pt.get_param_space(e)
-    assert set(space) == {"perm_a", "perm_b", "perm_out", "precision_idx"}
+    assert set(space) == {"perm_a", "perm_b", "perm_out", "precision_idx",
+                          "natural_out"}
     tr = pt.bind_args(e, perm_a=5, perm_b=1, perm_out=2, precision_idx=0)
     f.validate_batched_einsum_transform(e, tr)
+    # the no-output-transpose point (GEMM-natural layout)
+    tr_nat = pt.bind_args(e, perm_a=5, perm_b=1, perm_out=0,
+                          precision_idx=0, natural_out=1)
+    f.validate_batched_einsum_transform(e, tr_nat)

@@ -222,3 +222,27 @@ def test_db_hit_replay_budget():
     ts = sorted(t1 - t0 for t0, t1 in ts)
     median_ms = 1e3 * ts[len(ts) // 2]
     assert median_ms < 10.0, f"DB-hit replay took {median_ms:.2f} ms (median)"
+
+
+def test_ttgt_replay_uses_target_program_names(tmp_path):
+    """Archive replay binds params against the CANONICAL einsum (names
+    arg_0...), but layout choices must land on the *target program's*
+    operand names (bench r2 regression: KeyError 'arg_0' on every TCCG
+    ttgt replay)."""
+    import feinsum_tpu as f
+    from feinsum_tpu import sql_utils
+
+    e = f.einsum("ikl,ljk->ij",
+                 f.array("left", (32, 24, 16), "float32"),
+                 f.array("right", (16, 40, 24), "float32"))
+    db = str(tmp_path / "t.sqlite")
+    sql_utils.record_facts(
+        e, transform_id="ttgt_v0.py",
+        transform_params={"perm_a": 1, "perm_b": 1, "perm_out": 1,
+                          "precision_idx": 1},
+        runtime_in_sec=1e-3, db_path=db, long_dim_length=100)
+    tr = sql_utils.retrieve(e, db_path=db)
+    prog = tr(f.generate_program(e))
+    names = {n for n, _ in prog.descriptor.arg_layouts}
+    assert names == {"left", "right"}, names
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
