@@ -29,7 +29,13 @@ DEV_TO_PEAK_GFLOPS = {
         # (~156 TF measured) fails the oracle and does not count.
         "bfloat16": 197_000.0,
         "float32": 65_700.0,
-        "float64": 3_900.0,
+        # no f64 hardware: XLA emulates doubles in f32-pair arithmetic.
+        # MEASURED matmul ceiling 1.77 TF (1024^3, scripts/tpu_f64_probe.py);
+        # the old 3.9 TF entry was spec-derived fantasy.  Beware: f64
+        # einsums with >2 operands can blow up in 4.9x-padded emulation
+        # temps (div @ E=1M wants 28.9 GB of HBM decomposed) — see
+        # CLAUDE.md round-2 findings.
+        "float64": 1_770.0,
     },
     "TPU_v5": {  # v5p
         "bfloat16": 459_000.0,

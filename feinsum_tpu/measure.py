@@ -349,23 +349,25 @@ def _timeit_device_trace(fn, arrays: dict, *, n_iters: int = 30,
             if threads.get((e["pid"], e.get("tid"))) != "XLA Modules":
                 continue
             groups[e.get("name", "?")].append(float(e.get("dur", 0.0)))
-        best = None
-        n_matching = 0
+        matching = []
         for name, durs in groups.items():
             if len(durs) >= max(3, int(0.8 * n_iters)) \
                     and name.startswith(_jit_prefix):
-                n_matching += 1
-                if best is None or len(durs) > len(best):
-                    best = durs
-        if not best:
+                matching.append(sorted(durs))
+        if not matching:
             return None
-        if n_matching > 1:
+        if len(matching) > 1:
+            # a launch that dispatches several modules (e.g. XLA's f64
+            # emulation splits the program): one group's median would
+            # under-report the launch (measured: f64 div 1195 ms largest
+            # module vs 3633 ms scalar-fenced wall), so sum the groups'
+            # medians — exact when the modules run back-to-back, still a
+            # lower bound if they overlap
             logger.warning(
                 "device trace shows %d jit modules with ~%d launches each;"
-                " measuring only the most frequent (see the single-module"
-                " invariant in _timeit_device_trace)", n_matching, n_iters)
-        best.sort()
-        return best[len(best) // 2] * 1e-6
+                " reporting the sum of their median spans", len(matching),
+                n_iters)
+        return sum(durs[len(durs) // 2] for durs in matching) * 1e-6
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
