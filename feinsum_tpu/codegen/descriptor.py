@@ -53,6 +53,22 @@ class ScheduleDescriptor:
     """
 
     backend: str = "xla"
+    # host-side storage contract applied BEFORE everything else: per-arg
+    # nested axis grouping ((name, ((2,0),(1,3))), ...) — the stored array is
+    # transpose(flat_perm) reshaped to one axis per group.  This is how
+    # high-rank small-dim tensors become GEMM-natural 2D matrices: every
+    # permutation of e.g. a (24,16,16,24,16,16) TCCG output has a trailing
+    # dim <= 24, which XLA:TPU's T(8,128) tiled layout pads to 128 lanes
+    # (5-8x physical write amplification — measured 43 GB/s logical on
+    # tccg_35 vs 652 GB/s for the same GEMM stored 2D).  Fused storage is
+    # the only bus-rate layout for such tensors on TPU; like arg_layouts,
+    # it is part of the schedule's data-layout contract.
+    pre_layouts: tuple = ()
+    pre_out_layout: Optional[tuple] = None  # nested grouping for every output
+    # explicit index->length bindings for axes of a REWRITTEN program whose
+    # lengths are fixed by the original einsum (e.g. the flattened M axis of
+    # a TC-as-GEMM rewrite) rather than by the caller's long_dim_length
+    bind_lengths: tuple = ()
     grid_index: Optional[str] = None
     block_long: int = 1024
     accum_dtype: Optional[str] = None
@@ -103,6 +119,10 @@ class ScheduleDescriptor:
     def __post_init__(self):
         object.__setattr__(self, "arg_layouts",
                            _freeze_mapping(self.arg_layouts))
+        object.__setattr__(self, "pre_layouts",
+                           _freeze_mapping(self.pre_layouts))
+        object.__setattr__(self, "bind_lengths",
+                           _freeze_mapping(self.bind_lengths))
         object.__setattr__(self, "flags", _freeze_mapping(self.flags))
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")

@@ -234,5 +234,11 @@ def build_executable(program: EinsumProgram, *,
     ensure_x64_if_needed(program.einsum)
     if index_to_length is None:
         index_to_length = get_index_lengths(program.einsum, long_dim_length)
+    else:
+        index_to_length = dict(index_to_length)
+    # axes of a rewritten program whose lengths are fixed by the original
+    # einsum (descriptor.bind_lengths) override the caller's long_dim_length
+    for ix, ln in program.descriptor.bind_lengths:
+        index_to_length[ix] = int(ln)
     lengths_key = tuple(sorted(index_to_length.items()))
     return _build_executable_cached(program, lengths_key)

@@ -98,10 +98,14 @@ def generate_input_arrays(einsum: BatchedEinsum, *, long_dim_length: int,
 
 
 def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
-    from .ops.layouts import fold_arrays, preblock_arrays
+    from .ops.layouts import apply_nested_layout, fold_arrays, preblock_arrays
 
-    layouts = program.descriptor.arg_layouts_map
     out = dict(arrays)
+    # pre_layouts: logical (user) axes -> the rewritten program's stored
+    # grouping (e.g. rank-4 TC operand -> GEMM-natural 2D), applied first
+    for name, nested in dict(program.descriptor.pre_layouts).items():
+        out[name] = apply_nested_layout(out[name], nested)
+    layouts = program.descriptor.arg_layouts_map
     for name, perm in layouts.items():
         out[name] = out[name].transpose(tuple(int(p) for p in perm))
     return preblock_arrays(program, fold_arrays(program, out))
@@ -253,8 +257,13 @@ def validate_batched_einsum_transform(
             f"expected {einsum.b} outputs, got {len(results)}")
     out_layout = program.descriptor.out_layout
     fold = getattr(program.descriptor, "fold_long", 1) or 1
+    pre_out = program.descriptor.pre_out_layout
     for r, (got, ref) in enumerate(zip(results, expected)):
         got = np.asarray(got)
+        if pre_out is not None:
+            # rewritten-program outputs are grouped (e.g. GEMM-natural 2D)
+            from .ops.layouts import apply_nested_layout
+            ref = apply_nested_layout(ref, pre_out)
         if out_layout is not None:
             # outputs are delivered in the descriptor's stored layout
             ref = np.transpose(ref, tuple(int(p) for p in out_layout))

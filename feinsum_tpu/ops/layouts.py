@@ -54,6 +54,30 @@ def dofmajor_layouts(einsum: BatchedEinsum):
     return tuple(layouts), out_perm
 
 
+def apply_nested_layout(arr, nested):
+    """Apply a grouped storage layout: *nested* is a tuple of tuples of
+    source-axis positions; the stored array is ``arr.transpose(flat_perm)``
+    reshaped to one (merged) axis per group.  Works on numpy and jax arrays.
+
+    This is the host-side half of ``descriptor.pre_layouts`` — the
+    fused-storage contract that keeps high-rank small-dim tensors in
+    TPU-tileable (e.g. GEMM-natural 2D) form."""
+    flat = tuple(int(p) for g in nested for p in g)
+    if sorted(flat) != list(range(arr.ndim)):
+        raise ValueError(
+            f"nested layout {nested!r} is not a grouping of {arr.ndim} axes")
+    arr = arr.transpose(flat)
+    shape = []
+    k = 0
+    for g in nested:
+        n = 1
+        for _ in g:
+            n *= arr.shape[k]
+            k += 1
+        shape.append(n)
+    return arr.reshape(tuple(shape))
+
+
 # {{{ fold-8 sublane layout (descriptor.fold_long)
 
 def fold_axis_of(program):

@@ -95,3 +95,41 @@ def test_multigrid_tc_kernel():
     with pytest.raises(InvalidParameterError):
         sp.bind_args(gemm, n_grid=1, precision_idx=0, use_opt_path=False)(
             f.generate_program(gemm))
+
+
+def test_tc_gemm_v0_fused2d():
+    """tc_gemm_v0: dense TC rewritten to a GEMM-natural fused-2D program
+    (descriptor.pre_layouts storage contract) — both the XLA-dot route and
+    the first-party Pallas streaming route validate against numpy on the
+    original high-rank einsum."""
+    from feinsum_tpu.diagnostics import InvalidParameterError
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    e = f.einsum("dfgb,geac->abcdef",
+                 f.array("A", (6, 4, 5, 7), "float32"),
+                 f.array("B", (5, 8, 9, 10), "float32"))
+    sp = get_transform_func_from_module_path("tc_gemm_v0")
+    for backend_pallas, swap, dofmajor in (
+            (False, False, False), (False, True, False),
+            (True, False, True), (True, True, False)):
+        tr = sp.bind_args(e, log2_block=8, blkc128=0,
+                          backend_pallas=backend_pallas, precision_idx=0,
+                          swap=swap, dofmajor=dofmajor, fold=False,
+                          vmem_idx=2)
+        f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
+    prog = sp.bind_args(e, log2_block=8, blkc128=0, backend_pallas=False,
+                        precision_idx=0, swap=False, dofmajor=False,
+                        fold=False, vmem_idx=2)(f.generate_program(e))
+    # lhs A(dfgb): M=(d,f,b)->positions (0,1,3), K=(g,)->(2,)
+    assert dict(prog.descriptor.pre_layouts)["A"] == ((0, 1, 3), (2,))
+    assert prog.descriptor.bind_lengths == (("e", 6 * 4 * 7),)
+
+    # batch-index (shared free axis) contractions are guarded
+    import pytest
+
+    be = f.einsum("abk,akc->abc", f.array("A", (4, 5, 6), "float32"),
+                  f.array("B", (4, 6, 7), "float32"))
+    with pytest.raises(InvalidParameterError):
+        sp.bind_args(be, log2_block=8, blkc128=0, backend_pallas=False,
+                     precision_idx=0, swap=False, dofmajor=False,
+                     fold=False, vmem_idx=2)(f.generate_program(be))
