@@ -460,15 +460,15 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
     difference, with k2 grown adaptively until the on-device work dominates
     the round-trip noise.
 
-    KNOWN BIAS: even with the barrier chain (which replaced an input-
-    perturbation step), some kernels measure up to 2x slower inside the
-    chained loop than their true device-lane span (mass-matrix: ~1025 us
-    chained vs 496 us on the device timeline, identical executable) — the
-    loop structure itself serializes against the pallas call in a way we
-    have not fully isolated.  This protocol is therefore only the FALLBACK
-    when no profiler trace is available; :func:`_timeit_device_trace` is the
-    honest primary (its spans are validated against bytes/bandwidth floors
-    and agree with the loop protocol on bandwidth-saturated kernels)."""
+    KNOWN BIAS (mechanism understood 2026-08-17): every iteration is one
+    dependency chain through the barrier, so iteration i+1's HBM reads
+    cannot begin until iteration i fully completes — the chained loop
+    forbids exactly the cross-launch DMA/compute overlap that production
+    back-to-back dispatches (and :func:`_timeit_wall_diff`) enjoy.  Kernels
+    with a large DMA prologue measure up to 2x slower chained (mass-matrix:
+    ~1025 us chained vs ~430 us differenced wall, identical executable).
+    This protocol is therefore only the LAST-RESORT fallback;
+    :func:`_timeit_wall_diff` is the primary."""
     import jax
     import jax.numpy as jnp
 
