@@ -246,6 +246,23 @@ def are_einsums_isomorphic(einsum1: BatchedEinsum,
     return canonicalize_einsum(einsum1) == canonicalize_einsum(einsum2)
 
 
+def canonical_operand_positions(einsum: BatchedEinsum) -> tuple:
+    """The operand-position permutation ``sigma_j`` of the canonical
+    renaming: canonical operand position ``p`` holds *einsum*'s operand
+    position ``sigma_j[p]``.
+
+    Position-sensitive transform params (tc_gemm_v0's ``swap``, ttgt_v0's
+    ``perm_a``/``perm_b``) are archived relative to canonical operand
+    positions — :func:`feinsum_tpu.tuning.autotune` canonicalizes before
+    measuring — while archive replay applies the bound transform to the
+    *user-ordered* program.  Transforms with such params must route them
+    through this map so they name the same operand either way.
+    (Within-operand axis order IS preserved by canonicalization — only the
+    operand-position order can differ, e.g. TCCG #02 ``dca,bd->abc``
+    canonicalizes to ``jl,lki->ijk`` with sigma_j = (1, 0).)"""
+    return tuple(_canonical_renaming(einsum)[1])
+
+
 # one fill color per vertex class (the reference colors its induced DAG per
 # node class too, canonicalization.py:235-276)
 _DOT_STYLE = {

@@ -36,7 +36,15 @@ def _gemm_split(e, swap):
     """(lhs_arg, rhs_arg, lhs_idx, rhs_idx, M_idx, N_idx, K_idx) for a pure
     (no batch index) 2-operand contraction, operand order optionally
     swapped.  Raises InvalidParameterError when the einsum is not of this
-    shape (the tuner scores the point inf and other spaces cover it)."""
+    shape (the tuner scores the point inf and other spaces cover it).
+
+    ``swap`` is interpreted relative to CANONICAL operand positions: the
+    archive stores params tuned on the canonical einsum, but replay applies
+    the transform to the user-ordered program (see
+    :func:`feinsum_tpu.canonicalization.canonical_operand_positions`) —
+    e.g. TCCG #02 canonicalizes with operands exchanged, which flipped the
+    resident/streamed roles on replay before this mapping."""
+    from feinsum_tpu.canonicalization import canonical_operand_positions
     from feinsum_tpu.einsum import SizeParam
 
     if e.n != 2 or e.b != 1:
@@ -46,11 +54,11 @@ def _gemm_split(e, swap):
            for ln in e.index_to_dim_length.values()):
         raise InvalidParameterError(
             "tc_gemm_v0 expects a dense (fully concrete) contraction")
-    lhs, rhs = e.args[0]
-    lhs_idx, rhs_idx = e.in_idx_sets
+    lhs_pos, rhs_pos = canonical_operand_positions(e)
     if swap:
-        lhs, rhs = rhs, lhs
-        lhs_idx, rhs_idx = rhs_idx, lhs_idx
+        lhs_pos, rhs_pos = rhs_pos, lhs_pos
+    lhs, rhs = e.args[0][lhs_pos], e.args[0][rhs_pos]
+    lhs_idx, rhs_idx = e.in_idx_sets[lhs_pos], e.in_idx_sets[rhs_pos]
     out_set = set(e.out_idx_set)
     k_idx = [ix for ix in lhs_idx if ix not in out_set]
     if not k_idx:

@@ -33,7 +33,7 @@ def _perm(ndim: int, idx: int):
     return perms[idx % len(perms)]
 
 
-def _natural_out_perm(e, pa, pb):
+def _natural_out_perm(e, pos_a, pos_b, pa, pb):
     """Permutation putting the output in GEMM-natural order for the chosen
     operand layouts — lhs free axes (in stored order) then rhs free axes —
     so XLA writes the contraction result once, with NO output transpose.
@@ -41,8 +41,8 @@ def _natural_out_perm(e, pa, pb):
     (TCCG #35 measured ~5% of the bandwidth roofline; the natural layout
     removes it), and a random walk over rank! permutations cannot find
     this point."""
-    a_idx = [e.in_idx_sets[0][p] for p in pa]
-    b_idx = [e.in_idx_sets[1][p] for p in pb]
+    a_idx = [e.in_idx_sets[pos_a][p] for p in pa]
+    b_idx = [e.in_idx_sets[pos_b][p] for p in pb]
     out_set = set(e.out_idx_set)
     natural = ([ix for ix in a_idx if ix in out_set]
                + [ix for ix in b_idx if ix in out_set
@@ -61,6 +61,8 @@ def _natural_out_perm(e, pa, pb):
 @transform_param("natural_out", lambda e: IntParameter(0, 1))
 def transform(program, perm_a, perm_b, perm_out, precision_idx,
               natural_out=0):
+    from feinsum_tpu.canonicalization import canonical_operand_positions
+
     e = program.einsum
     if e.n != 2 or e.b != 1 or e.all_size_params:
         raise InvalidParameterError(
@@ -69,17 +71,20 @@ def transform(program, perm_a, perm_b, perm_out, precision_idx,
     # an @einsum_arg of the einsum the params were bound against: on the
     # archive-replay path that einsum is the CANONICAL one (names arg_0,
     # arg_1), which broke replay onto user-named programs (bench r2:
-    # KeyError 'arg_0').  The permutations themselves are name-free and
-    # transfer because canonicalization fixes the operand order.
-    arg_names = tuple(a.name for a in e.args[0])
+    # KeyError 'arg_0').  The permutations are archived relative to
+    # CANONICAL operand positions (autotune canonicalizes first), so they
+    # must be routed onto the user's positions through sigma_j — applying
+    # perm_a to user position 0 silently retunes the wrong operand whenever
+    # canonical order differs (e.g. TCCG #02/#35, sigma_j = (1, 0)).
+    pos_a, pos_b = canonical_operand_positions(e)
+    pa = _perm(len(e.in_idx_sets[pos_a]), perm_a)
+    pb = _perm(len(e.in_idx_sets[pos_b]), perm_b)
     layouts = (
-        (arg_names[0], _perm(len(e.in_idx_sets[0]), perm_a)),
-        (arg_names[1], _perm(len(e.in_idx_sets[1]), perm_b)),
+        (e.args[0][pos_a].name, pa),
+        (e.args[0][pos_b].name, pb),
     )
-    pa = _perm(len(e.in_idx_sets[0]), perm_a)
-    pb = _perm(len(e.in_idx_sets[1]), perm_b)
     if natural_out:
-        out_perm = _natural_out_perm(e, pa, pb)
+        out_perm = _natural_out_perm(e, pos_a, pos_b, pa, pb)
     else:
         out_perm = _perm(len(e.out_idx_set), perm_out)
     return program.copy(

@@ -120,9 +120,13 @@ def test_tc_gemm_v0_fused2d():
     prog = sp.bind_args(e, log2_block=8, blkc128=0, backend_pallas=False,
                         precision_idx=0, swap=False, dofmajor=False,
                         fold=False, vmem_idx=2)(f.generate_program(e))
-    # lhs A(dfgb): M=(d,f,b)->positions (0,1,3), K=(g,)->(2,)
-    assert dict(prog.descriptor.pre_layouts)["A"] == ((0, 1, 3), (2,))
-    assert prog.descriptor.bind_lengths == (("e", 6 * 4 * 7),)
+    # swap is canonical-relative (this einsum's canonical operand order is
+    # (B, A), sigma_j=(1,0)): swap=False makes B(geac) the streamed lhs —
+    # M=(e,a,c)->positions (1,2,3), K=(g,)->(0,) — and A the resident rhs
+    # with K position (2,)
+    assert dict(prog.descriptor.pre_layouts)["B"] == ((1, 2, 3), (0,))
+    assert dict(prog.descriptor.pre_layouts)["A"][1] == (2,)
+    assert prog.descriptor.bind_lengths == (("e", 8 * 9 * 10),)
 
     # batch-index (shared free axis) contractions are guarded
     import pytest

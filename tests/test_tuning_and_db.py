@@ -246,3 +246,56 @@ def test_ttgt_replay_uses_target_program_names(tmp_path):
     names = {n for n, _ in prog.descriptor.arg_layouts}
     assert names == {"left", "right"}, names
     f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
+
+
+def test_position_sensitive_params_replay_canonically(tmp_path):
+    """Operand-position-sensitive params (tc_gemm_v0 ``swap``, ttgt_v0
+    ``perm_a``/``perm_b``) are archived relative to CANONICAL operand
+    positions, but replay applies the transform to the user-ordered
+    program.  On einsums whose canonical operand order differs from the
+    user's (TCCG #02 ``dca,bd->abc`` -> ``jl,lki->ijk``, sigma_j=(1,0))
+    the params must be routed through
+    :func:`canonicalization.canonical_operand_positions` — bench r2
+    regression: tccg_02's archived champion replayed with the
+    resident/streamed roles flipped."""
+    import feinsum_tpu as f
+    from feinsum_tpu.canonicalization import (
+        canonical_operand_positions,
+        canonicalize_einsum,
+    )
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    e = f.einsum("dca,bd->abc",
+                 f.array("T", (24, 16, 48), "float32"),
+                 f.array("U", (32, 24), "float32"))
+    ce = canonicalize_einsum(e)
+    assert canonical_operand_positions(e) == (1, 0)
+    # idempotence precondition: params tuned on the canonical einsum are
+    # stored against identity positions
+    assert canonical_operand_positions(ce) == (0, 1)
+
+    pt = get_transform_func_from_module_path("tc_gemm_v0.py")
+    params = dict(log2_block=9, blkc128=0, backend_pallas=False,
+                  precision_idx=0, swap=False, dofmajor=False, fold=False,
+                  vmem_idx=2)
+    tr = pt.bind_args(ce, **params)
+    p_canon = tr(f.generate_program(ce))
+    p_user = tr(f.generate_program(e))
+    # the rewritten 2D GEMM must have the same geometry either way: same
+    # resident (N, K) factor, same streamed K width
+    shapes_of = lambda p: sorted(
+        tuple(int(d) for d in a.shape if not hasattr(d, "name"))
+        for a in p.einsum.args[0])
+    assert shapes_of(p_canon) == shapes_of(p_user)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
+
+    # ttgt: rank-asymmetric operands — a perm applied to the wrong
+    # position would have the wrong length
+    pt2 = get_transform_func_from_module_path("ttgt_v0.py")
+    tr2 = pt2.bind_args(ce, perm_a=0, perm_b=1, perm_out=0,
+                        precision_idx=1, natural_out=1)
+    prog2 = tr2(f.generate_program(e))
+    ranks = {"T": 3, "U": 2}
+    for name, perm in prog2.descriptor.arg_layouts:
+        assert len(perm) == ranks[name], (name, perm)
+    f.validate_batched_einsum_transform(e, tr2, long_dim_length=100)
