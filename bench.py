@@ -156,30 +156,52 @@ def geomean(xs):
     return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else 0.0
 
 
-def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH):
-    """(rate GOp/s, fraction of roofline) for one suite row, archive-first.
-
-    Archive misses fall back to the built-in default schedule; any OTHER
-    archive failure is reported loudly (a corrupted archive must not be
-    silently papered over — ADVICE/VERDICT r1)."""
-    transform = None
+def candidate_transforms(name, einsum):
+    """Archived facts in descending GOp-rate order, then the built-in
+    default — the consumer-path resilience ladder: a champion whose replay
+    no longer compiles (Mosaic fragility, e.g. the 1D-output lane-merge
+    crash) must not zero out the row when the runner-up compiles fine.
+    Archive misses fall back straight to the default; any OTHER archive
+    failure is reported loudly (a corrupted archive must not be silently
+    papered over — ADVICE/VERDICT r1)."""
     try:
-        transform = sql_utils.retrieve(einsum)
+        qs = sql_utils.query(einsum)
     except NoFactInDatabaseError:
         log(f"{name}: no archive fact; using built-in default schedule")
+        qs = []
     except Exception as ex:  # noqa: BLE001
         log(f"{name}: ARCHIVE ERROR {type(ex).__name__}: {str(ex)[:200]}"
             f" — falling back to built-in default schedule")
-    if transform is None:
-        transform = default_transform(einsum)
-    f.validate_batched_einsum_transform(
-        einsum, transform, long_dim_length=2000)
-    program = transform(f.generate_program(einsum))
-    arrays = _apply_layouts(
-        program,
-        generate_input_arrays(einsum, long_dim_length=long_dim_length))
-    fn = f.build_executable(program, long_dim_length=long_dim_length)
-    dt = timeit_on_device(fn, arrays)
+        qs = []
+    qs.sort(key=lambda q: q.total_giga_op_rate, reverse=True)
+    for rank, q in enumerate(qs[:4]):
+        yield (f"archive[{rank}] {q.transform_id}"
+               f" ({q.total_giga_op_rate:.0f} GOp/s)"), q.transform
+    yield "built-in default", default_transform(einsum)
+
+
+def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH):
+    """(rate GOp/s, fraction of roofline) for one suite row, archive-first
+    with fallback to runner-up facts / the default schedule."""
+    dt = last_ex = None
+    for label, transform in candidate_transforms(name, einsum):
+        try:
+            f.validate_batched_einsum_transform(
+                einsum, transform, long_dim_length=2000)
+            program = transform(f.generate_program(einsum))
+            arrays = _apply_layouts(
+                program,
+                generate_input_arrays(einsum,
+                                      long_dim_length=long_dim_length))
+            fn = f.build_executable(program, long_dim_length=long_dim_length)
+            dt = timeit_on_device(fn, arrays)
+            break
+        except Exception as ex:  # noqa: BLE001
+            last_ex = ex
+            log(f"{name}: candidate '{label}' failed"
+                f" ({type(ex).__name__}: {str(ex)[:160]}); trying next")
+    if dt is None:
+        raise last_ex
     gops = sum(evaluate_giga_op_map(
         get_giga_op_map(einsum), long_dim_length).values())
     rate = gops / dt

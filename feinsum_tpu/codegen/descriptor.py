@@ -111,6 +111,13 @@ class ScheduleDescriptor:
     # docstring) — e.g. grad's 3 r-dots of M=35 become one dot of M=120,
     # 3x fewer MXU tile passes
     mfold: bool = False
+    # XLA route only: split the long (SizeParam) axis into chunks of this
+    # many elements and lax.map the whole schedule over them sequentially.
+    # This bounds the *intermediate* footprint — XLA's f64 emulation
+    # decomposes every value into padded f32-pair temps (div @ E=1M wants
+    # ~29 GB materialized, which thrashes HBM at ~6 GOp/s); chunking keeps
+    # the per-chunk temps resident.  None = one launch over the full axis.
+    xla_block_long: Optional[int] = None
     vmem_limit_bytes: Optional[int] = None
     interpret: Optional[bool] = None
     multiple_results_in_one_kernel: bool = True

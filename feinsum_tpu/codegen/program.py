@@ -218,12 +218,86 @@ def _build_executable_cached(program: EinsumProgram, lengths_key: tuple):
         raise InvalidParameterError(
             "preblock_args requires the pallas backend")
 
+    blk = getattr(program.descriptor, "xla_block_long", None)
+    if blk:
+        return jax.jit(_xla_chunked_fn(program, dict(lengths_key), int(blk)))
+
     def fn(arrays_by_name: dict):
         logical = _logical_arrays(program, arrays_by_name)
         return tuple(_xla_row_fn(program, r, logical)
                      for r in range(program.einsum.b))
 
     return jax.jit(fn)
+
+
+def _xla_chunked_fn(program: EinsumProgram, index_to_length: dict,
+                    blk: int):
+    """The XLA schedule lax.map-ed over long-axis chunks of *blk* elements
+    (descriptor.xla_block_long).  Sequential chunks bound the intermediate
+    footprint; see the descriptor field's docstring."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..diagnostics import InvalidParameterError
+
+    e = program.einsum
+    desc = program.descriptor
+    long_letters = sorted(e.all_size_params)
+    if len(long_letters) != 1:
+        raise InvalidParameterError(
+            "xla_block_long needs exactly one parametric long axis")
+    if (getattr(desc, "fold_long", 1) or 1) > 1 or desc.pre_layouts:
+        raise InvalidParameterError(
+            "xla_block_long composes with neither fold_long nor pre_layouts")
+    (letter,) = [ix for ix, ln in e.index_to_dim_length.items()
+                 if isinstance(ln, SizeParam)]
+    if letter not in e.out_idx_set:
+        raise InvalidParameterError(
+            "xla_block_long needs the long axis in the output")
+    length = int(index_to_length[letter])
+    # round the requested block down to the largest divisor of the length
+    # (archived chunk params stay meaningful across long_dim_lengths whose
+    # factorizations differ, e.g. 1M = 2^6 * 5^6 vs power-of-two requests)
+    blk = min(blk, length)
+    while length % blk:
+        blk -= 1
+    nc = length // blk
+    # long-axis position per operand (positions are identical across batch
+    # rows: rows share in_idx_sets)
+    arg_axis = {}
+    for r in range(e.b):
+        for j, idx_set in enumerate(e.in_idx_sets):
+            if letter in idx_set:
+                arg_axis[e.args[r][j].name] = idx_set.index(letter)
+    out_letters = (tuple(e.out_idx_set[p] for p in desc.out_layout)
+                   if desc.out_layout is not None else tuple(e.out_idx_set))
+    p_out = out_letters.index(letter)
+
+    def fn(arrays_by_name: dict):
+        logical = _logical_arrays(program, arrays_by_name)
+        chunked, captured = {}, {}
+        for name, arr in logical.items():
+            k = arg_axis.get(name)
+            if k is None:
+                captured[name] = arr
+                continue
+            shape = arr.shape
+            arr = jnp.reshape(arr, shape[:k] + (nc, blk) + shape[k + 1:])
+            chunked[name] = jnp.moveaxis(arr, k, 0)
+
+        def body(ch):
+            return tuple(_xla_row_fn(program, r, {**captured, **ch})
+                         for r in range(e.b))
+
+        outs = jax.lax.map(body, chunked)
+        merged = []
+        for o in outs:       # (nc, ..., blk @ p_out+1, ...) after stacking
+            o = jnp.moveaxis(o, 0, p_out)
+            merged.append(jnp.reshape(
+                o, o.shape[:p_out] + (nc * blk,) + o.shape[p_out + 2:]))
+        return tuple(merged)
+
+    return fn
 
 
 def build_executable(program: EinsumProgram, *,

@@ -415,9 +415,15 @@ def _timeit_wall_diff(fn, arrays: dict, *, target_seconds: float = 0.3,
 
     out = fn(arrays)
     fence(out)                       # compile + first-touch
-    dt0 = wall(n_probe) / n_probe    # inflated by the fixed overhead
-    n1 = max(20, min(max_launches // 3,
-                     int(target_seconds / max(dt0, 1e-7))))
+    # adaptive probe: a coarse 2-launch estimate first, refined with
+    # n_probe launches only when the kernel is fast enough that the fixed
+    # ~30 ms relay overhead would swamp 2 launches (a multi-second f64
+    # kernel must not pay 60 probe launches)
+    dt0 = wall(2) / 2
+    if dt0 < 5e-3:
+        dt0 = wall(n_probe) / n_probe    # inflated by the fixed overhead
+    n1 = max(4 if dt0 > 0.02 else 20,
+             min(max_launches // 3, int(target_seconds / max(dt0, 1e-7))))
     n2 = 3 * n1
     best = None
     for _ in range(2):
@@ -434,6 +440,10 @@ def timeit_on_device(fn, arrays: dict) -> float:
     differenced-wall protocol (primary), cross-checked against the
     device-trace spans; the chained in-graph protocol as last resort."""
     dt = _timeit_wall_diff(fn, arrays)
+    if dt is not None and dt > 0.1:
+        # >=100 ms/launch: the differenced wall's ~ms-scale noise is <1%
+        # and the 30-launch trace cross-check would cost minutes
+        return dt
     tr = _timeit_device_trace(fn, arrays)
     if dt is not None and tr is not None:
         if dt > 1.3 * tr:

@@ -26,14 +26,20 @@ _PRECISIONS = ("default", "highest", "bf16_3x")
 @transform_param("use_opt_path", lambda e: BoolParameter())
 @transform_param("precision_idx",
                  lambda e: IntParameter(0, len(_PRECISIONS) - 1))
-def transform(program, use_opt_path, precision_idx):
+@transform_param("log2_chunk", lambda e: IntParameter(0, 17))
+def transform(program, use_opt_path, precision_idx, log2_chunk=0):
     e = program.einsum
     schedule = (get_opt_einsum_contraction_schedule(e) if use_opt_path
                 else get_trivial_contraction_schedule(e))
+    # log2_chunk > 0: lax.map the schedule over 2^log2_chunk-element chunks
+    # of the long axis — bounds XLA's f64-emulation temp footprint (the
+    # unchunked f64 div @ E=1M materializes ~29 GB of f32-pair temps and
+    # runs at ~6 GOp/s); build_executable rejects invalid combinations
     return program.copy(
         schedule=schedule,
         descriptor=ScheduleDescriptor(
-            backend="xla", precision=_PRECISIONS[precision_idx]))
+            backend="xla", precision=_PRECISIONS[precision_idx],
+            xla_block_long=(1 << log2_chunk) if log2_chunk else None))
 
 
 if __name__ == "__main__":
