@@ -105,7 +105,7 @@ def suite():
 
 
 def extended_suite():
-    """P1-P3 DG sizes, curl, fp64 — stderr evidence rows (VERDICT r1 #3/8/9).
+    """P1-P3 DG sizes, curl — stderr evidence rows (VERDICT r1 #3/8).
     Reference GOp/s from BASELINE.md where it records the size (fp64 TITAN V);
     None where the reference DB has no row."""
     return [
@@ -116,7 +116,6 @@ def extended_suite():
         ("dg_grad_ndof10_P2", make_grad(10), None),
         ("dg_grad_ndof4_P1", make_grad(4), None),
         ("dg_curl_ndof35", make_curl(35), None),
-        ("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6),
         # bandwidth-bound rows (BASELINE.md: ij,j->i 99.4 / ij->i 41.6)
         ("vecmat_ndof35", f.einsum("ej,j->e",
                                    f.array("A", ("E", 35), "float32"),
@@ -125,6 +124,16 @@ def extended_suite():
                                    f.array("A", ("E", 35), "float32")),
          41.6),
     ]
+
+
+def fp64_suite():
+    """The fp64 evidence row (VERDICT r1 #9), in its OWN section run LAST:
+    compiling the gigantic f64-emulation module leaves the remote compile
+    helpers sick (every fresh compile afterwards dies with HTTP 500 /
+    subprocess exit 1 — observed twice, bench r2b/r2c: all post-fp64 rows
+    failed while persistent-cache hits sailed through), so nothing that
+    still needs a compile may run after it."""
+    return [("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6)]
 
 # }}}
 
@@ -183,23 +192,38 @@ def candidate_transforms(name, einsum):
 def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH):
     """(rate GOp/s, fraction of roofline) for one suite row, archive-first
     with fallback to runner-up facts / the default schedule."""
+    def attempt(transform):
+        f.validate_batched_einsum_transform(
+            einsum, transform, long_dim_length=2000)
+        program = transform(f.generate_program(einsum))
+        arrays = _apply_layouts(
+            program,
+            generate_input_arrays(einsum, long_dim_length=long_dim_length))
+        fn = f.build_executable(program, long_dim_length=long_dim_length)
+        return timeit_on_device(fn, arrays)
+
     dt = last_ex = None
     for label, transform in candidate_transforms(name, einsum):
         try:
-            f.validate_batched_einsum_transform(
-                einsum, transform, long_dim_length=2000)
-            program = transform(f.generate_program(einsum))
-            arrays = _apply_layouts(
-                program,
-                generate_input_arrays(einsum,
-                                      long_dim_length=long_dim_length))
-            fn = f.build_executable(program, long_dim_length=long_dim_length)
-            dt = timeit_on_device(fn, arrays)
+            dt = attempt(transform)
             break
         except Exception as ex:  # noqa: BLE001
             last_ex = ex
+            # HTTP 500 = a sick remote compile helper, not a bad schedule
+            # (helpers go down in bulk after huge compiles); cool down and
+            # retry this candidate once before moving on
+            if "HTTP 500" in str(ex):
+                log(f"{name}: candidate '{label}' hit a sick compile helper;"
+                    f" retrying once after cooldown")
+                time.sleep(30)
+                try:
+                    dt = attempt(transform)
+                    break
+                except Exception as ex2:  # noqa: BLE001
+                    last_ex = ex2
             log(f"{name}: candidate '{label}' failed"
-                f" ({type(ex).__name__}: {str(ex)[:160]}); trying next")
+                f" ({type(last_ex).__name__}: {str(last_ex)[:160]});"
+                f" trying next")
     if dt is None:
         raise last_ex
     gops = sum(evaluate_giga_op_map(
@@ -239,9 +263,8 @@ def run_headline(device_key):
     return ours, refs
 
 
-def run_extended(device_key):
-    log("--- extended suite (P-levels / curl / fp64) ---")
-    for name, einsum, ref_gops in extended_suite():
+def _run_rows(rows, device_key):
+    for name, einsum, ref_gops in rows:
         try:
             rate, frac = measure_row(name, einsum, device_key)
         except Exception as ex:  # noqa: BLE001
@@ -254,6 +277,16 @@ def run_extended(device_key):
                      f" {100*ref_frac:5.1f}% of TITAN V roofline")
         log(f"{name}: {rate:8.0f} GOp/s = {100*frac:5.1f}%"
             f" of TPU roofline{ref_s}")
+
+
+def run_extended(device_key):
+    log("--- extended suite (P-levels / curl / bandwidth-bound) ---")
+    _run_rows(extended_suite(), device_key)
+
+
+def run_fp64(device_key):
+    log("--- fp64 (XLA f64 emulation; runs last, see fp64_suite) ---")
+    _run_rows(fp64_suite(), device_key)
 
 
 # TCCG sample: one benchmark per structural family of the 48 (VERDICT r1 #4)
@@ -315,7 +348,7 @@ def main() -> None:
     }))
 
     # evidence tables (stderr only; failures here never break the headline)
-    for section in (run_extended, run_tccg, run_replay_latency):
+    for section in (run_extended, run_tccg, run_replay_latency, run_fp64):
         try:
             if section is run_replay_latency:
                 section()

@@ -435,29 +435,82 @@ def _timeit_wall_diff(fn, arrays: dict, *, target_seconds: float = 0.3,
     return best
 
 
+def _bytes_floor_seconds(fn, arrays: dict) -> Optional[float]:
+    """The physics floor: (input + output logical bytes) / peak HBM
+    bandwidth.  No launch that streams its operands can beat this; it is a
+    LOWER bound (layout/tiling amplification only adds traffic)."""
+    import jax
+
+    from .data.device_info import DEV_TO_PEAK_BW, get_device_key
+    try:
+        bw = DEV_TO_PEAK_BW.get(get_device_key())
+        if not bw:
+            return None
+        out = fn(arrays)
+        if not isinstance(out, (tuple, list)):
+            out = (out,)
+        jax.block_until_ready(out)
+        nbytes = sum(int(v.size) * v.dtype.itemsize
+                     for v in arrays.values())
+        nbytes += sum(int(o.size) * o.dtype.itemsize for o in out)
+        return nbytes / (bw * 1e9)
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def timeit_on_device(fn, arrays: dict) -> float:
-    """Seconds per launch of *fn* on the current accelerator: the
-    differenced-wall protocol (primary), cross-checked against the
-    device-trace spans; the chained in-graph protocol as last resort."""
+    """Seconds per launch of *fn* on the current accelerator.
+
+    PROTOCOL (2026-08-17, third iteration — see scripts/
+    tpu_timing_integrity_probe.py for the evidence): the device-trace
+    median span is PRIMARY, clamped from below by the physics floor
+    (logical bytes / peak HBM bus).  Wall-clock timing of asynchronous
+    launch queues through this environment's RPC relay is unreliable in
+    BOTH directions and cannot be a primary:
+
+      * wall(n) is not monotone in n — fencing the last launch's output
+        does not bound the others (rowsum: wall(90) ~= wall(30); the
+        differenced estimate landed BELOW the bandwidth floor, 147 us vs a
+        171 us floor, and vecmat measured an absurd 28.6 us);
+      * for sub-300 us launches the differenced wall also OVER-reports by
+        up to 2x (tccg_02: 282 us wall vs 172 us span vs 141 us floor) —
+        relay-side per-launch costs that a production host does not pay;
+      * a null-kernel calibration returns no stable per-launch cost (the
+        60-vs-20-launch walls are indistinguishable from noise).
+
+    The trace span is real device occupancy (one module runs at a time on
+    a TPU core), so steady-state per-launch time can never beat it; spans
+    of Pallas custom calls include all their DMA.  Plain-HLO (XLA-backend)
+    module spans can exclude asynchronously-issued DMA — the one case the
+    span under-reports — which the physics floor catches (historical: a
+    115 MB row-sum's 39 us module span vs a 140 us floor).  For launches
+    >= 100 ms the differenced wall is kept (noise <1%, trace costs
+    minutes); when no trace is available the differenced wall (clamped by
+    the floor) and then the chained in-graph loop (documented 2x bias) are
+    the fallbacks."""
     dt = _timeit_wall_diff(fn, arrays)
     if dt is not None and dt > 0.1:
-        # >=100 ms/launch: the differenced wall's ~ms-scale noise is <1%
-        # and the 30-launch trace cross-check would cost minutes
         return dt
+    floor = _bytes_floor_seconds(fn, arrays) or 0.0
     tr = _timeit_device_trace(fn, arrays)
-    if dt is not None and tr is not None:
-        if dt > 1.3 * tr:
-            logger.info(
-                "device-trace spans under-report: %.0f us span vs %.0f us"
-                " differenced wall (short plain-HLO module; wall is"
-                " authoritative)", tr * 1e6, dt * 1e6)
-        return dt
-    if dt is not None:
-        return dt
     if tr is not None:
+        if tr < floor:
+            logger.info(
+                "device-trace span %.0f us is below the %.0f us bandwidth"
+                " floor (plain-HLO module with async DMA); reporting the"
+                " floor%s", tr * 1e6, floor * 1e6,
+                f" (differenced wall {dt * 1e6:.0f} us)" if dt else "")
+            return max(floor, dt or 0.0)
+        if dt is not None and abs(dt - tr) > 0.3 * tr:
+            logger.info(
+                "differenced wall %.0f us disagrees with the %.0f us device"
+                " span (relay artifact); span is authoritative",
+                dt * 1e6, tr * 1e6)
         return tr
+    if dt is not None:
+        return max(dt, floor)
     logger.info("wall/trace timing unavailable; using in-graph protocol")
-    return _timeit_in_graph(fn, arrays)
+    return max(_timeit_in_graph(fn, arrays), floor)
 
 
 def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
