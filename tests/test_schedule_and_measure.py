@@ -155,3 +155,34 @@ def test_input_arrays_respect_dtype():
     arrs = generate_input_arrays(e, long_dim_length=10, as_numpy=True)
     assert arrs["A"].dtype == np.complex64
     assert arrs["B"].dtype == np.int32
+
+
+def test_timeit_on_device_policy(monkeypatch):
+    """The span-primary physics-clamped policy (scripts/
+    tpu_timing_integrity_probe.py evidence): trace is authoritative unless
+    it falls below the bandwidth floor; wall-diff survives only >=100 ms
+    or when no trace exists; everything is clamped by the floor."""
+    from feinsum_tpu import measure
+
+    def fake(wall, trace, floor):
+        monkeypatch.setattr(measure, "_timeit_wall_diff",
+                            lambda fn, arrays: wall)
+        monkeypatch.setattr(measure, "_timeit_device_trace",
+                            lambda fn, arrays: trace)
+        monkeypatch.setattr(measure, "_bytes_floor_seconds",
+                            lambda fn, arrays: floor)
+        monkeypatch.setattr(measure, "_timeit_in_graph",
+                            lambda fn, arrays: 99.0)
+        return measure.timeit_on_device(None, {})
+
+    # >=100 ms: wall-diff kept (trace would cost minutes)
+    assert fake(0.5, None, None) == 0.5
+    # trace authoritative over a disagreeing wall (both directions)
+    assert fake(28e-6, 219e-6, 171e-6) == 219e-6     # drainage under-report
+    assert fake(282e-6, 172e-6, 141e-6) == 172e-6    # enqueue over-report
+    # plain-HLO span below the physics floor: floor (or the larger wall)
+    assert fake(121e-6, 39e-6, 140e-6) == 140e-6
+    assert fake(200e-6, 39e-6, 140e-6) == 200e-6
+    # no trace: wall clamped by floor; no wall+no trace: in-graph fallback
+    assert fake(100e-6, None, 140e-6) == 140e-6
+    assert fake(None, None, 1e-6) == 99.0
