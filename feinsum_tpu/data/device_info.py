@@ -75,6 +75,15 @@ DEV_TO_PEAK_BW = {
     "NVIDIA_H200_NVL": 4_800.0,
 }
 
+# peak HBM *write-drain* bandwidth, GB/s — only for devices where it was
+# MEASURED: a pure streaming-store saturates below the mixed read+write bus
+# peak (v5e: 652 vs 819, scripts/tpu_stream_probe.py / tpu_tc2_probe.py).
+# Write-dominated kernels (expansion-heavy TCCG outputs) are bounded by
+# this, not the bus peak; the roofline model adds the term where known.
+DEV_TO_PEAK_WRITE_BW = {
+    "TPU_v5_lite": 652.0,
+}
+
 # VMEM per core, bytes (used by schedule-space guards, the TPU analog of the
 # reference impls' shared-memory-<=48kB InvalidParameterError guards)
 DEV_TO_VMEM_BYTES = {

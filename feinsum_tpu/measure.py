@@ -200,6 +200,18 @@ def get_footprint_gbytes(einsum: BatchedEinsum, *, long_dim_length: int
         nbytes += out_size * output_dtype(einsum, row).itemsize
     return nbytes * 1e-9
 
+
+def get_write_gbytes(einsum: BatchedEinsum, *,
+                     long_dim_length: int) -> float:
+    """Output bytes only (written once) — the write-drain roofline term for
+    expansion-heavy kernels."""
+    lengths = get_index_lengths(einsum, long_dim_length)
+    out_size = 1
+    for ix in einsum.out_idx_set:
+        out_size *= lengths[ix]
+    return sum(out_size * output_dtype(einsum, row).itemsize
+               for row in range(einsum.b)) * 1e-9
+
 # }}}
 
 
@@ -441,19 +453,28 @@ def _bytes_floor_seconds(fn, arrays: dict) -> Optional[float]:
     LOWER bound (layout/tiling amplification only adds traffic)."""
     import jax
 
-    from .data.device_info import DEV_TO_PEAK_BW, get_device_key
+    from .data.device_info import (
+        DEV_TO_PEAK_BW,
+        DEV_TO_PEAK_WRITE_BW,
+        get_device_key,
+    )
     try:
-        bw = DEV_TO_PEAK_BW.get(get_device_key())
+        key = get_device_key()
+        bw = DEV_TO_PEAK_BW.get(key)
         if not bw:
             return None
         out = fn(arrays)
         if not isinstance(out, (tuple, list)):
             out = (out,)
         jax.block_until_ready(out)
-        nbytes = sum(int(v.size) * v.dtype.itemsize
-                     for v in arrays.values())
-        nbytes += sum(int(o.size) * o.dtype.itemsize for o in out)
-        return nbytes / (bw * 1e9)
+        in_bytes = sum(int(v.size) * v.dtype.itemsize
+                       for v in arrays.values())
+        out_bytes = sum(int(o.size) * o.dtype.itemsize for o in out)
+        floor = (in_bytes + out_bytes) / (bw * 1e9)
+        wbw = DEV_TO_PEAK_WRITE_BW.get(key)
+        if wbw:
+            floor = max(floor, out_bytes / (wbw * 1e9))
+        return floor
     except Exception:  # noqa: BLE001
         return None
 
@@ -713,6 +734,14 @@ def get_roofline_flop_rate(einsum: BatchedEinsum, device_name: str, *,
         t_compute += g / peaks[dtype_name]
     t_mem = get_footprint_gbytes(
         einsum, long_dim_length=long_dim_length) / DEV_TO_PEAK_BW[key]
+    # write-drain term, only where the write ceiling was measured: a pure
+    # streaming store saturates below the mixed bus peak (v5e: 652 vs 819
+    # GB/s), so write-dominated kernels are bounded by it
+    from .data.device_info import DEV_TO_PEAK_WRITE_BW
+    wbw = DEV_TO_PEAK_WRITE_BW.get(key)
+    if wbw:
+        t_mem = max(t_mem, get_write_gbytes(
+            einsum, long_dim_length=long_dim_length) / wbw)
     return total_gops / max(t_compute, t_mem)
 
 
