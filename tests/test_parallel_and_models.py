@@ -184,3 +184,57 @@ def test_wave_model_numerics():
     np.testing.assert_allclose(np.asarray(out["v"]).transpose(0, 2, 1),
                                exp_v, rtol=2e-5,
                                atol=2e-5 * abs(exp_v).max())
+
+
+def test_maxwell_model_numerics():
+    """One Maxwell step vs numpy: the 6-row batched curl must combine into
+    eps_{abc} J_b D F_c pairs with the right signs, through the dof-major
+    layout plumbing."""
+    import jax
+    from feinsum_tpu.models import MaxwellOperator3D, make_maxwell_state
+
+    ndof, E, dt = 6, 64, 1e-3
+    op = MaxwellOperator3D(ndof=ndof, dtype="float32", use_pallas=True,
+                           block_long=32)
+    step = jax.jit(op.make_step(E, dt=dt))
+    state, geom = make_maxwell_state(E, ndof=ndof)
+    out = step(state, geom)
+
+    g = {k: np.asarray(v) for k, v in geom.items()}
+
+    def np_curl(F):          # F logical (3, E, P)
+        J = {"x": g["Jx"].T, "y": g["Jy"].T, "z": g["Jz"].T}  # (E, 3)
+        c = {}
+        for a, (b, cc) in zip("xyz", (("y", "z"), ("z", "x"), ("x", "y"))):
+            comp = {"x": 0, "y": 1, "z": 2}
+            c[a] = (np.einsum("es,sij,ej->ei", J[b], g["D"], F[comp[cc]])
+                    - np.einsum("es,sij,ej->ei", J[cc], g["D"], F[comp[b]]))
+        return np.stack([c["x"], c["y"], c["z"]])
+
+    Ef = np.asarray(state["E"]).transpose(0, 2, 1)   # logical (3, E, P)
+    Hf = np.asarray(state["H"]).transpose(0, 2, 1)
+    exp_E = Ef + dt * np_curl(Hf)
+    exp_H = Hf - dt * np_curl(Ef)
+    got_E = np.asarray(out["E"]).transpose(0, 2, 1)
+    got_H = np.asarray(out["H"]).transpose(0, 2, 1)
+    np.testing.assert_allclose(got_E, exp_E, rtol=2e-5,
+                               atol=2e-5 * abs(exp_E).max())
+    np.testing.assert_allclose(got_H, exp_H, rtol=2e-5,
+                               atol=2e-5 * abs(exp_H).max())
+
+
+def test_maxwell_model_uses_db_schedule(tmp_path):
+    from feinsum_tpu import sql_utils
+    from feinsum_tpu.models import MaxwellOperator3D
+
+    db = str(tmp_path / "db.sqlite")
+    probe = MaxwellOperator3D(ndof=10, use_pallas=False)
+    sql_utils.record_facts(
+        probe.curl_einsum, transform_id="dg_div_v0.py",
+        transform_params={"log2_block": 9, "hoist": True,
+                          "parallel_grid": True, "dofmajor": True,
+                          "precision_3x": True},
+        runtime_in_sec=1e-4, device=None, db_path=db, long_dim_length=1024)
+    op = MaxwellOperator3D(ndof=10, db_path=db)
+    assert op._program.descriptor.block_long == 512
+    assert op._program.descriptor.precision == "bf16_3x"
