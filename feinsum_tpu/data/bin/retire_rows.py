@@ -21,6 +21,14 @@ def main() -> None:
                     help="substring of the params JSON, e.g. '\"jfold\": false'")
     ap.add_argument("--runtime-below", type=float,
                     help="only rows with runtime_in_sec < this")
+    ap.add_argument("--compiler-contains",
+                    help="substring of compiler_version — e.g. a retired"
+                         " timing-protocol tag ('timing-proto2') or an old"
+                         " jax version")
+    ap.add_argument("--compiler-missing",
+                    help="rows whose compiler_version LACKS this substring"
+                         " (e.g. purge everything not measured under"
+                         " 'timing-proto3')")
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
@@ -39,6 +47,12 @@ def main() -> None:
         if args.runtime_below is not None:
             where.append("runtime_in_sec < ?")
             binds.append(args.runtime_below)
+        if args.compiler_contains:
+            where.append("compiler_version LIKE ?")
+            binds.append(f"%{args.compiler_contains}%")
+        if args.compiler_missing:
+            where.append("compiler_version NOT LIKE ?")
+            binds.append(f"%{args.compiler_missing}%")
         if not where:
             raise SystemExit("refusing to delete every row: pass a filter")
         cond = " AND ".join(where)

@@ -61,6 +61,16 @@ def dump_arg_names(einsum: BatchedEinsum) -> str:
     return json.dumps([[a.name for a in row] for row in einsum.args])
 
 
+# timing-protocol provenance tag appended to every new row's
+# compiler_version: proto1 = chained in-graph loop (2x serialization bias),
+# proto2 = differenced wall (unreliable both directions through the relay),
+# proto3 = device-trace span clamped by the physics floor (current; see
+# measure.timeit_on_device).  Lets data/bin/retire_rows.py purge rows
+# measured under a retired protocol; retrieve() itself stays
+# reference-parity (max rate over all rows).
+TIMING_PROTOCOL_TAG = "timing-proto3"
+
+
 def dump_compiler_version() -> str:
     import jax
     import jaxlib
@@ -70,8 +80,9 @@ def dump_compiler_version() -> str:
         libtpu = getattr(_libtpu, "__version__", "")
     except ImportError:
         pass
-    return f"jax-{jax.__version__}-jaxlib-{jaxlib.__version__}" + (
-        f"-libtpu-{libtpu}" if libtpu else "")
+    return (f"jax-{jax.__version__}-jaxlib-{jaxlib.__version__}"
+            + (f"-libtpu-{libtpu}" if libtpu else "")
+            + f"-{TIMING_PROTOCOL_TAG}")
 
 
 def dump_op_info(einsum: BatchedEinsum, long_dim_length: int) -> str:
