@@ -91,3 +91,14 @@ def test_design_doc_claims_match_code():
     text = open(os.path.join(DOC, "design.md")).read()
     for sym in re.findall(r"`measure\.(\w+)`", text):
         assert hasattr(m, sym), f"design.md references measure.{sym}"
+
+
+def test_examples_compile():
+    """Every examples/*.py parses and compiles (full runs are TPU-scale;
+    the wave/maxwell model paths are exercised by the model tests)."""
+    import py_compile
+    ex_dir = os.path.join(os.path.dirname(DOC), "examples")
+    files = [f for f in os.listdir(ex_dir) if f.endswith(".py")]
+    assert len(files) >= 7
+    for name in files:
+        py_compile.compile(os.path.join(ex_dir, name), doraise=True)
