@@ -155,6 +155,92 @@ def reduction_sharded_executable(program: EinsumProgram, mesh, *,
     return jax.jit(sharded)
 
 
+def row_sharded_executable(program: EinsumProgram, mesh, *,
+                           mesh_axis: str = "rows",
+                           long_dim_length: int = 100_000):
+    """Shard the **batch rows** over ``mesh.shape[mesh_axis]`` devices — the
+    expert-parallel pattern for batched einsums: rows are independent
+    einsums sharing one subscript, so each device evaluates its row slab
+    with the single-chip fused kernel and no collectives at all (operands
+    appearing in every row, e.g. the reference matrix ``D``, are
+    replicated; per-row operands arrive STACKED on a leading row axis).
+
+    Returns ``fn(stacked_arrays, shared_arrays) -> (b, *out_shape)`` where
+    ``stacked_arrays[name]`` has shape ``(b, *operand_shape)`` for each
+    per-row operand position (name = position-0 row's operand name).
+    Complements :func:`sharded_einsum_executable` (DP over elements) and
+    :func:`reduction_sharded_executable` (TP over a contracted axis)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    e = program.einsum
+    b, n = e.b, mesh.shape[mesh_axis]
+    if b % n:
+        raise ValueError(f"b={b} rows must divide over {n} shards")
+    b_local = b // n
+
+    # operand positions whose array differs between rows get stacked;
+    # positions with one shared array (same name in every row) replicate
+    shared_pos = [j for j in range(e.n)
+                  if len({e.args[i][j].name for i in range(b)}) == 1]
+    stack_pos = [j for j in range(e.n) if j not in shared_pos]
+    stack_names = {j: e.args[0][j].name for j in stack_pos}
+
+    # the local program: b_local rows, positional arg names (every shard
+    # runs the same executable on its slab of the stacked operands)
+    local_args = tuple(
+        tuple(e.args[0][j].copy(name=(e.args[0][j].name if j in shared_pos
+                                      else f"_row{i}_{e.args[0][j].name}"))
+              for j in range(e.n))
+        for i in range(b_local))
+    from ..einsum import BatchedEinsum
+    local_e = BatchedEinsum(e.out_idx_set, e.in_idx_sets, local_args)
+    # renamed per-row args inherit their position's storage layout
+    new_layouts = []
+    renamed = {stack_names[j] for j in stack_pos}
+    for name, perm in program.descriptor.arg_layouts:
+        if name in renamed:
+            new_layouts.extend((f"_row{i}_{name}", perm)
+                               for i in range(b_local))
+        elif name in {a.name for row in local_args for a in row}:
+            new_layouts.append((name, perm))
+    local_prog = program.copy(einsum=local_e).with_descriptor(
+        arg_layouts=tuple(new_layouts))
+    lengths = get_index_lengths(e, long_dim_length)
+    local_fn = build_executable(local_prog, index_to_length=lengths)
+
+    layouts = program.descriptor.arg_layouts_map
+
+    def stored_idx(idx_set, name):
+        return (tuple(idx_set[p] for p in layouts[name])
+                if name in layouts else tuple(idx_set))
+
+    in_specs = (
+        {stack_names[j]: P(mesh_axis,
+                           *[None for _ in e.in_idx_sets[j]])
+         for j in stack_pos},
+        {e.args[0][j].name: P(*[None for _ in e.in_idx_sets[j]])
+         for j in shared_pos},
+    )
+    out_spec = P(mesh_axis, *[None for _ in e.out_idx_set])
+
+    def shard_fn(stacked, shared):
+        outs = []
+        for i in range(b_local):
+            arrs = dict(shared)
+            for j in stack_pos:
+                arrs[f"_row{i}_{stack_names[j]}"] = stacked[stack_names[j]][i]
+            outs.extend(local_fn(arrs))
+        return jnp.stack(outs)
+
+    sharded = shard_map(shard_fn, mesh=mesh,
+                        in_specs=in_specs, out_specs=out_spec,
+                        check_vma=False)
+    return jax.jit(sharded)
+
+
 def make_mesh(shape: dict):
     """Mesh from {'data': n, 'model': m} over the available devices."""
     import jax

@@ -238,3 +238,36 @@ def test_maxwell_model_uses_db_schedule(tmp_path):
     op = MaxwellOperator3D(ndof=10, db_path=db)
     assert op._program.descriptor.block_long == 512
     assert op._program.descriptor.precision == "bf16_3x"
+
+
+def test_row_sharding_matches_oracle():
+    """Expert-parallel analog: batch rows sharded over a mesh axis, shared
+    operands replicated, per-row operands stacked — no collectives."""
+    import jax.numpy as jnp
+    from feinsum_tpu.parallel import row_sharded_executable
+
+    ndof = 6
+    e = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(j, ("E", 3), "float32"),
+          f.array("R", (3, ndof, ndof), "float32"),
+          f.array(u, ("E", ndof), "float32")]
+         for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz"),
+                      ("Jw", "uw")]])
+    mesh = make_mesh({"rows": 4})
+    prog = f.generate_program(e).with_descriptor(backend="pallas",
+                                                 block_long=16)
+    fn = row_sharded_executable(prog, mesh, long_dim_length=64)
+    arrays = generate_input_arrays(e, long_dim_length=64)
+    stacked = {
+        "Jx": jnp.stack([arrays[n] for n in ("Jx", "Jy", "Jz", "Jw")]),
+        "ux": jnp.stack([arrays[n] for n in ("ux", "uy", "uz", "uw")]),
+    }
+    out = fn(stacked, {"R": arrays["R"]})
+    assert out.shape == (4, 64, ndof)
+    expected = _numpy_oracle(e, {k: np.asarray(v) for k, v in
+                                 arrays.items()})
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out[i]), expected[i], rtol=2e-5,
+            atol=2e-5 * abs(expected[i]).max())
