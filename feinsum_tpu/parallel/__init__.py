@@ -211,12 +211,6 @@ def row_sharded_executable(program: EinsumProgram, mesh, *,
     lengths = get_index_lengths(e, long_dim_length)
     local_fn = build_executable(local_prog, index_to_length=lengths)
 
-    layouts = program.descriptor.arg_layouts_map
-
-    def stored_idx(idx_set, name):
-        return (tuple(idx_set[p] for p in layouts[name])
-                if name in layouts else tuple(idx_set))
-
     in_specs = (
         {stack_names[j]: P(mesh_axis,
                            *[None for _ in e.in_idx_sets[j]])
