@@ -211,3 +211,30 @@ def test_abstract_long_axes():
     ref = f.einsum("ej,ij->ei", f.array("u", ("E", 35), "float32"),
                    f.array("D", (35, 35), "float32"))
     assert f.canonicalize_einsum(a) == f.canonicalize_einsum(ref)
+
+
+def test_match_curl_component_difference():
+    """The Maxwell/curl pattern — a DIFFERENCE of two div-class einsums —
+    matches per-addend via insn_match, and each addend is isomorphic to the
+    archived div class (the knowledge-transfer story for cross-product
+    operators; reference re_rji_ej_to_ei_3d_cross_product_v0)."""
+    import numpy as np
+
+    def curl_x(Jy, Jz, D, Fz, Fy):
+        return (jnp.einsum("es,sij,ej->ei", Jy, D, Fz)
+                - jnp.einsum("es,sij,ej->ei", Jz, D, Fy))
+
+    rng = np.random.default_rng(0)
+    args = [jnp.asarray(rng.random(s, np.float32)) for s in
+            ((600, 3), (600, 3), (3, 7, 7), (600, 7), (600, 7))]
+    e0, m0 = get_a_matched_einsum(curl_x, args, insn_match=0)
+    e1, m1 = get_a_matched_einsum(curl_x, args, insn_match=1)
+    ref = f.einsum("es,sij,ej->ei",
+                   f.array("J", ("E", 3), "float32"),
+                   f.array("D", (3, 7, 7), "float32"),
+                   f.array("u", ("E", 7), "float32"))
+    assert f.canonicalize_einsum(e0) == f.canonicalize_einsum(ref)
+    assert f.canonicalize_einsum(e1) == f.canonicalize_einsum(ref)
+    # the name maps land on the right operands per term
+    assert {"Jy", "D", "Fz"} <= set(m0)
+    assert {"Jz", "D", "Fy"} <= set(m1)
