@@ -15,6 +15,7 @@ from .algebraic import (
     hoist_invariant_multiplicative_terms_in_sum_reduction,
 )
 from .canonicalization import (
+    canonical_operand_positions,
     canonicalize_einsum,
     get_substitution_mapping_between_isomorphic_batched_einsums,
     visualize,
@@ -73,6 +74,7 @@ from .measure import (
 )
 from .sql_utils import (
     DEFAULT_DB,
+    apply_best_transform,
     get_timed_einsums_in_db,
     query,
     record_facts,
@@ -123,6 +125,8 @@ __all__ = (
     "autotune",
     "batched_einsum",
     "build_executable",
+    "apply_best_transform",
+    "canonical_operand_positions",
     "canonicalize_einsum",
     "visualize",
     "einsum",
