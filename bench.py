@@ -183,7 +183,15 @@ def candidate_transforms(name, einsum):
             f" — falling back to built-in default schedule")
         qs = []
     qs.sort(key=lambda q: q.total_giga_op_rate, reverse=True)
-    for rank, q in enumerate(qs[:4]):
+    # dedup re-timed copies of one config: four identical champions would
+    # occupy every fallback slot and defeat the ladder
+    seen, distinct = set(), []
+    for q in qs:
+        key = (q.transform_id, q.transform_params)
+        if key not in seen:
+            seen.add(key)
+            distinct.append(q)
+    for rank, q in enumerate(distinct[:4]):
         yield (f"archive[{rank}] {q.transform_id}"
                f" ({q.total_giga_op_rate:.0f} GOp/s)"), q.transform
     yield "built-in default", default_transform(einsum)

@@ -242,15 +242,17 @@ def _xla_chunked_fn(program: EinsumProgram, index_to_length: dict,
 
     e = program.einsum
     desc = program.descriptor
-    long_letters = sorted(e.all_size_params)
+    # guard on parametric index LETTERS (two letters can share one
+    # SizeParam, which all_size_params would count once)
+    long_letters = [ix for ix, ln in e.index_to_dim_length.items()
+                    if isinstance(ln, SizeParam)]
     if len(long_letters) != 1:
         raise InvalidParameterError(
             "xla_block_long needs exactly one parametric long axis")
     if (getattr(desc, "fold_long", 1) or 1) > 1 or desc.pre_layouts:
         raise InvalidParameterError(
             "xla_block_long composes with neither fold_long nor pre_layouts")
-    (letter,) = [ix for ix, ln in e.index_to_dim_length.items()
-                 if isinstance(ln, SizeParam)]
+    (letter,) = long_letters
     if letter not in e.out_idx_set:
         raise InvalidParameterError(
             "xla_block_long needs the long axis in the output")

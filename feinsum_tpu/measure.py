@@ -193,12 +193,8 @@ def get_footprint_gbytes(einsum: BatchedEinsum, *, long_dim_length: int
         for ix in arg_to_idx[name]:
             size *= lengths[ix]
         nbytes += size * einsum.arg_to_dtype[name].itemsize
-    out_size = 1
-    for ix in einsum.out_idx_set:
-        out_size *= lengths[ix]
-    for row in range(einsum.b):
-        nbytes += out_size * output_dtype(einsum, row).itemsize
-    return nbytes * 1e-9
+    return nbytes * 1e-9 + get_write_gbytes(
+        einsum, long_dim_length=long_dim_length)
 
 
 def get_write_gbytes(einsum: BatchedEinsum, *,
@@ -402,15 +398,17 @@ def _timeit_wall_diff(fn, arrays: dict, *, target_seconds: float = 0.3,
     overhead (~26-36 ms with high variance); asynchronous dispatch lets
     consecutive launches overlap DMA exactly as a production caller's do.
 
-    This is the PRIMARY protocol (2026-08-17): it is backend-neutral and
-    reference-parity (the reference times batched enqueues by wall clock,
-    measure.py:197-275).  The device-trace spans agree with it within 5%
-    on every kernel >= ~200 us, but UNDER-report short plain-HLO modules
-    by 2-3x (a 115 MB row-sum: 39 us median span vs 121 us differenced
-    wall — the module span excludes DMA work that serializes on the HBM
-    bus across launches; measured in scripts/tpu_trace_envelope_probe.py).
-    Each wall sample is taken twice and the minimum is used (relay noise
-    only ever adds time)."""
+    DEMOTED (2026-08-17 evening; see :func:`timeit_on_device` and
+    scripts/tpu_timing_integrity_probe.py): through this environment's RPC
+    relay wall(n) is NOT monotone in n — fencing the last launch's output
+    does not bound the others — so the differenced estimate can land BELOW
+    the physical bandwidth floor (rowsum 147 us vs a 171 us floor; vecmat
+    28.6 us), and sub-300 us launches can also OVER-report ~2x from
+    relay-side per-launch costs.  It remains in use only (a) for >=100 ms
+    launches, where the noise is <1% and a 30-launch trace would cost
+    minutes, and (b) as the no-trace fallback, clamped by the physics
+    floor.  Each wall sample is taken twice and the minimum is used (relay
+    noise only ever adds time)."""
     import jax.numpy as jnp
 
     def fence(out):
@@ -427,13 +425,23 @@ def _timeit_wall_diff(fn, arrays: dict, *, target_seconds: float = 0.3,
 
     out = fn(arrays)
     fence(out)                       # compile + first-touch
-    # adaptive probe: a coarse 2-launch estimate first, refined with
-    # n_probe launches only when the kernel is fast enough that the fixed
-    # ~30 ms relay overhead would swamp 2 launches (a multi-second f64
-    # kernel must not pay 60 probe launches)
-    dt0 = wall(2) / 2
+    # adaptive probe: per-launch estimate from a differenced SLOPE — a
+    # plain wall(n)/n average includes the relay's fixed ~26-36 ms
+    # dispatch overhead and can never see a sub-ms kernel (so the old
+    # wall(2)/2 coarse probe made its own refinement unreachable).  The
+    # coarse slope (8-2 launches) is enough to spot slow kernels; fast
+    # ones get a wider-baseline slope for a usable n1.
+    def slope_or_avg(n_lo, n_hi):
+        w_lo, w_hi = wall(n_lo), wall(n_hi)
+        slope = (w_hi - w_lo) / (n_hi - n_lo)
+        # non-monotone walls happen through this relay: fall back to the
+        # overhead-inflated average — an UPPER bound on the per-launch
+        # time, so n1 errs small (safe) rather than huge
+        return slope if slope > 0 else w_hi / n_hi
+
+    dt0 = slope_or_avg(2, 8)
     if dt0 < 5e-3:
-        dt0 = wall(n_probe) / n_probe    # inflated by the fixed overhead
+        dt0 = slope_or_avg(n_probe // 6, n_probe)
     n1 = max(4 if dt0 > 0.02 else 20,
              min(max_launches // 3, int(target_seconds / max(dt0, 1e-7))))
     n2 = 3 * n1

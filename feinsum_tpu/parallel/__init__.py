@@ -221,13 +221,14 @@ def row_sharded_executable(program: EinsumProgram, mesh, *,
     out_spec = P(mesh_axis, *[None for _ in e.out_idx_set])
 
     def shard_fn(stacked, shared):
-        outs = []
+        # ONE call: local_prog is a b_local-row batched einsum expecting
+        # every local row's operands together (so rows still share DMA in
+        # the fused kernel)
+        arrs = dict(shared)
         for i in range(b_local):
-            arrs = dict(shared)
             for j in stack_pos:
                 arrs[f"_row{i}_{stack_names[j]}"] = stacked[stack_names[j]][i]
-            outs.extend(local_fn(arrs))
-        return jnp.stack(outs)
+        return jnp.stack(local_fn(arrs))
 
     sharded = shard_map(shard_fn, mesh=mesh,
                         in_specs=in_specs, out_specs=out_spec,

@@ -50,10 +50,21 @@ def _natural_out_perm(e, pos_a, pos_b, pa, pb):
     return tuple(e.out_idx_set.index(ix) for ix in natural)
 
 
+def _canon_rank(e, slot):
+    """Rank of the operand at CANONICAL position *slot* — the param spaces
+    must be sized against the same positions the transform applies perms
+    to, or a user-ordered rank-asymmetric einsum gets an aliased/truncated
+    space (autotune canonicalizes first and never sees the difference)."""
+    from feinsum_tpu.canonicalization import canonical_operand_positions
+    if e.n <= slot:
+        return 1
+    return len(e.in_idx_sets[canonical_operand_positions(e)[slot]])
+
+
 @transform_param("perm_a", lambda e: IntParameter(
-    0, _n_perms(len(e.in_idx_sets[0])) - 1))
+    0, _n_perms(_canon_rank(e, 0)) - 1))
 @transform_param("perm_b", lambda e: IntParameter(
-    0, _n_perms(len(e.in_idx_sets[1])) - 1 if e.n > 1 else 0))
+    0, _n_perms(_canon_rank(e, 1)) - 1))
 @transform_param("perm_out", lambda e: IntParameter(
     0, _n_perms(len(e.out_idx_set)) - 1))
 @transform_param("precision_idx",

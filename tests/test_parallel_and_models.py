@@ -254,20 +254,24 @@ def test_row_sharding_matches_oracle():
           f.array(u, ("E", ndof), "float32")]
          for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz"),
                       ("Jw", "uw")]])
-    mesh = make_mesh({"rows": 4})
-    prog = f.generate_program(e).with_descriptor(backend="pallas",
-                                                 block_long=16)
-    fn = row_sharded_executable(prog, mesh, long_dim_length=64)
     arrays = generate_input_arrays(e, long_dim_length=64)
     stacked = {
         "Jx": jnp.stack([arrays[n] for n in ("Jx", "Jy", "Jz", "Jw")]),
         "ux": jnp.stack([arrays[n] for n in ("ux", "uy", "uz", "uw")]),
     }
-    out = fn(stacked, {"R": arrays["R"]})
-    assert out.shape == (4, 64, ndof)
     expected = _numpy_oracle(e, {k: np.asarray(v) for k, v in
                                  arrays.items()})
-    for i in range(4):
-        np.testing.assert_allclose(
-            np.asarray(out[i]), expected[i], rtol=2e-5,
-            atol=2e-5 * abs(expected[i]).max())
+    # n=4 (one row per device) AND n=2 (b_local=2: the local program is a
+    # 2-row batched einsum fed both rows in ONE call — regression: the
+    # first version called it per-row and died with KeyError '_row1_Jx')
+    for n in (4, 2):
+        mesh = make_mesh({"rows": n})
+        prog = f.generate_program(e).with_descriptor(backend="pallas",
+                                                     block_long=16)
+        fn = row_sharded_executable(prog, mesh, long_dim_length=64)
+        out = fn(stacked, {"R": arrays["R"]})
+        assert out.shape == (4, 64, ndof)
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(out[i]), expected[i], rtol=2e-5,
+                atol=2e-5 * abs(expected[i]).max())
