@@ -299,3 +299,35 @@ def test_position_sensitive_params_replay_canonically(tmp_path):
     for name, perm in prog2.descriptor.arg_layouts:
         assert len(perm) == ranks[name], (name, perm)
     f.validate_batched_einsum_transform(e, tr2, long_dim_length=100)
+
+
+def test_bench_candidate_ladder_dedups(monkeypatch):
+    """bench's fallback ladder: re-timed copies of one champion collapse to
+    one slot so a genuine runner-up is always reachable."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    import feinsum_tpu as f
+
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 8), "float32"),
+                 f.array("D", (8, 8), "float32"))
+
+    class FakeQ:
+        def __init__(self, rate, params):
+            self.transform_id = "mass_v0.py"
+            self.transform_params = tuple(sorted(params.items()))
+            self.total_giga_op_rate = rate
+            self.transform = lambda p: p
+
+    dup = {"log2_block": 10}
+    other = {"log2_block": 11}
+    monkeypatch.setattr(bench.sql_utils, "query",
+                        lambda einsum, *a, **k: [
+                            FakeQ(100.0, dup), FakeQ(99.0, dup),
+                            FakeQ(98.0, dup), FakeQ(97.0, dup),
+                            FakeQ(50.0, other)])
+    labels = [label for label, _ in
+              bench.candidate_transforms("row", e)]
+    assert len(labels) == 3            # dup champion, runner-up, default
+    assert labels[-1] == "built-in default"
