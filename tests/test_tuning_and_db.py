@@ -331,3 +331,21 @@ def test_bench_candidate_ladder_dedups(monkeypatch):
               bench.candidate_transforms("row", e)]
     assert len(labels) == 3            # dup champion, runner-up, default
     assert labels[-1] == "built-in default"
+
+
+def test_shipped_archive_integrity():
+    """Every einsum class in the SHIPPED archive reconstructs (canonical
+    soundness asserts inside get_timed_einsums_in_db) and its best fact's
+    transform binds against the canonical einsum — catches archive
+    corruption and params/space drift after tuning sessions."""
+    es = sql_utils.get_timed_einsums_in_db()     # asserts soundness per row
+    assert len(es) >= 50
+    bound = 0
+    for e in es:
+        qs = sql_utils.query(e, "TPU v5 lite", err_if_no_results=False)
+        if not qs:
+            continue                              # facts from another device
+        best = max(qs, key=lambda q: q.total_giga_op_rate)
+        assert callable(best.transform)           # lazy import + bind
+        bound += 1
+    assert bound >= 50, f"only {bound} classes have TPU_v5_lite champions"
