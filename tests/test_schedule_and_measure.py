@@ -186,3 +186,48 @@ def test_timeit_on_device_policy(monkeypatch):
     # no trace: wall clamped by floor; no wall+no trace: in-graph fallback
     assert fake(100e-6, None, 140e-6) == 140e-6
     assert fake(None, None, 1e-6) == 99.0
+
+
+def test_write_gbytes_and_write_ceiling_roofline():
+    """get_write_gbytes counts output bytes only; the v5e roofline applies
+    the measured write-drain ceiling (652 GB/s < the 819 GB/s bus peak) to
+    write-dominated kernels — an expansion einsum's roofline must be set
+    by writes/652, not bytes/819."""
+    from feinsum_tpu.measure import (
+        get_footprint_gbytes,
+        get_roofline_flop_rate,
+        get_write_gbytes,
+    )
+
+    # expansion: tiny inputs, big output
+    e = f.einsum("i,j,k->ijk",
+                 f.array("a", (64,), "float32"),
+                 f.array("b", (64,), "float32"),
+                 f.array("c", (64,), "float32"))
+    w = get_write_gbytes(e, long_dim_length=100)
+    total = get_footprint_gbytes(e, long_dim_length=100)
+    assert abs(w - 64 ** 3 * 4e-9) < 1e-12
+    assert abs(total - (w + 3 * 64 * 4e-9)) < 1e-12
+    from feinsum_tpu.measure import evaluate_giga_op_map, get_giga_op_map
+    gops = sum(evaluate_giga_op_map(get_giga_op_map(e), 100).values())
+    # the write term dominates on v5e: roofline == gops / (writes / 652)
+    roof = get_roofline_flop_rate(e, "TPU v5 lite", long_dim_length=100)
+    assert abs(roof - gops / (w / 652.0)) < 1e-6 * roof
+    # a device without a measured write ceiling keeps the plain bus model
+    roof_v4 = get_roofline_flop_rate(e, "TPU v4", long_dim_length=100)
+    assert abs(roof_v4 - gops / (total / 1228.0)) < 1e-6 * roof_v4
+
+
+def test_profile_program_smoke():
+    """profile_program returns per-op spans (or an explanatory None) on the
+    CPU backend without raising."""
+    from feinsum_tpu.measure import profile_program
+
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 8), "float32"),
+                 f.array("D", (8, 8), "float32"))
+    prog = f.generate_program(e)
+    try:
+        out = profile_program(prog, long_dim_length=256)
+    except Exception as ex:  # noqa: BLE001 — must not raise blindly
+        raise AssertionError(f"profile_program raised {type(ex).__name__}")
+    assert out is None or out
