@@ -339,7 +339,29 @@ def run_replay_latency():
         f" (north-star budget: 10 ms)")
 
 
+def _probe_backend(attempts: int = 3, probe_timeout: int = 240) -> None:
+    """Fail FAST when the axon relay is down: jax backend init through a
+    dead relay hangs ~25 min in C code (observed 2026-08-17, ~3 h outage)
+    and would stall the whole bench with no JSON line either way.  Probe
+    in a bounded subprocess; retry a couple of times, then exit non-zero."""
+    import subprocess
+    for i in range(attempts):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, check=True, capture_output=True)
+            return
+        except Exception:  # noqa: BLE001
+            log(f"TPU backend probe {i + 1}/{attempts} failed"
+                f" (relay down?); retrying in 120 s")
+            time.sleep(120)
+    log("TPU backend unreachable; aborting bench (no JSON line rather"
+        " than a 0 score or a 25-minute hang)")
+    sys.exit(3)
+
+
 def main() -> None:
+    _probe_backend()
     device_key = get_device_key()
     log(f"benchmarking on {device_key}, E={E_BENCH}")
 
