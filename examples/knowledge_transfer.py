@@ -64,3 +64,19 @@ fn = f.build_executable(program, long_dim_length=E)
 out = fn({"geo_jac": example[0], "diff_mat": example[1],
           "u_dofs": example[2]})
 print("output:", out[0].shape, np.asarray(out[0]).mean())
+
+
+# the substitution-rule seam (reference codegen/loopy.py:94-95,156-168): an
+# operand that is an arbitrary EXPRESSION — here an affine-rescaled jacobian
+# 2*J + 1 — still matches; the expression becomes an opaque operand expr0
+# whose name_map entry lists the inputs feeding it
+def user_rhs_expr(geo_jac, diff_mat, u_dofs):
+    return jnp.einsum("np,pdq,nq->nd", 2.0 * geo_jac + 1.0,
+                      diff_mat, u_dofs)
+
+
+matched_e, nm_e = get_a_matched_einsum(user_rhs_expr, example[:3])
+print("expression-operand match:", matched_e.get_subscripts(),
+      "| expr operand inputs:", nm_e["expr0"])
+print("still isomorphic to ref:",
+      f.canonicalize_einsum(matched_e) == f.canonicalize_einsum(ref))

@@ -257,13 +257,15 @@ def _xla_chunked_fn(program: EinsumProgram, index_to_length: dict,
         raise InvalidParameterError(
             "xla_block_long needs the long axis in the output")
     length = int(index_to_length[letter])
-    # round the requested block down to the largest divisor of the length
-    # (archived chunk params stay meaningful across long_dim_lengths whose
-    # factorizations differ, e.g. 1M = 2^6 * 5^6 vs power-of-two requests)
+    # ceil-chunk: zero-pad the tail chunk instead of hunting for a divisor
+    # (a divisor search degenerates to blk=1 for prime lengths — ~1M
+    # sequential lax.map steps).  The long axis is a batch axis (it must
+    # appear in the output), so zero rows in the pad region produce junk
+    # rows that the final slice discards; archived chunk params stay
+    # meaningful at ANY long_dim_length.
     blk = min(blk, length)
-    while length % blk:
-        blk -= 1
-    nc = length // blk
+    nc = -(-length // blk)
+    pad = nc * blk - length
     # long-axis position per operand (positions are identical across batch
     # rows: rows share in_idx_sets)
     arg_axis = {}
@@ -283,6 +285,10 @@ def _xla_chunked_fn(program: EinsumProgram, index_to_length: dict,
             if k is None:
                 captured[name] = arr
                 continue
+            if pad:
+                widths = [(0, 0)] * arr.ndim
+                widths[k] = (0, pad)
+                arr = jnp.pad(arr, widths)
             shape = arr.shape
             arr = jnp.reshape(arr, shape[:k] + (nc, blk) + shape[k + 1:])
             chunked[name] = jnp.moveaxis(arr, k, 0)
@@ -295,8 +301,11 @@ def _xla_chunked_fn(program: EinsumProgram, index_to_length: dict,
         merged = []
         for o in outs:       # (nc, ..., blk @ p_out+1, ...) after stacking
             o = jnp.moveaxis(o, 0, p_out)
-            merged.append(jnp.reshape(
-                o, o.shape[:p_out] + (nc * blk,) + o.shape[p_out + 2:]))
+            o = jnp.reshape(
+                o, o.shape[:p_out] + (nc * blk,) + o.shape[p_out + 2:])
+            if pad:
+                o = jax.lax.slice_in_dim(o, 0, length, axis=p_out)
+            merged.append(o)
         return tuple(merged)
 
     return fn

@@ -11,17 +11,32 @@ label; primitives unify labels (union-find); the final classes become einsum
 index letters.  Axes at least ``long_dim_length`` long are promoted to
 :class:`SizeParam` (the reference's rule, loopy_utils/__init__.py:121-128).
 
+**The operand-expression seam.**  The reference routes every operand access
+through a substitution rule ``_fe_subst_<arg>(...)``
+(``codegen/loopy.py:94-95, 156-168``) — "the seam that lets transformations
+apply to *any* kernel whose operand is an arbitrary expression".  Our analog:
+when a value feeding a product/contraction site (``dot_general``, tensor
+``mul``, ``reduce_sum``, or an addend of a sum of einsums) is produced by
+primitives *outside* the grammar — or is itself a sum — the jaxpr is cut
+there and the producing subtree becomes an **opaque operand** named
+``expr<k>``.  Captured constants and array literals are opaque operands too.
+The returned ``name_map`` maps a real operand name to its input position
+(an ``int``) and an expression operand to the tuple of input positions its
+subtree reads (``()`` for captured constants).
+
 Beyond single einsums, a traced function may be a **sum of einsums**
 (``div(v) + lift(flux)``): each maximal product/reduction subtree is an
 *instruction*, and ``insn_match`` selects which instruction(s) to match —
 the analog of the reference's loopy ``insn_match`` filter
 (``loopy_utils/__init__.py:233-254``).  Scalar *literal* factors
 (``2.0 * einsum(...)``) pass through: they scale the value but do not change
-the einsum's structure, so matching succeeds and the factor is not part of
-the returned einsum (the reference keeps such factors in the operand
+the einsum's structure, so matching succeeds and the factor is recorded on
+:attr:`InsnInfo.scale` (the reference keeps such factors in the operand
 substitution-rule expression, ``codegen/loopy.py:94-95``).
 
-Grammar violations raise :class:`EinsumMatchError`.
+Grammar violations that leave no einsum structure at all (e.g. a traced
+output produced entirely outside the grammar) raise
+:class:`EinsumMatchError`.
 """
 
 from __future__ import annotations
@@ -67,38 +82,78 @@ class _Labels:
 
 class _Term:
     """A labeled tensor value in the dataflow: which operand uses it reaches
-    back to, and the product/contraction structure so far."""
+    back to, the product/contraction structure so far, and the accumulated
+    scalar factor (sign and literal scales; ``None`` once an untracked
+    scalar — a traced rank-0 factor — was absorbed)."""
 
-    def __init__(self, labels, operands, contracted):
+    def __init__(self, labels, operands, contracted, scale=1.0):
         self.labels = tuple(labels)          # per-axis label ids
-        self.operands = tuple(operands)      # (input_index, axis labels) uses
+        self.operands = tuple(operands)      # (source_index, axis labels)
         self.contracted = frozenset(contracted)  # label ids summed over
+        self.scale = scale
 
 
 class _Sum:
     """A sum of einsum terms sharing the value's axes (one per addend of
-    ``add``/``sub`` chains).  Signs are dropped: they scale terms without
-    changing einsum structure (see module docstring on scalar factors)."""
+    ``add``/``sub`` chains).  Each term carries its own sign/scale."""
 
     def __init__(self, terms):
         self.terms = tuple(terms)
+
+
+class _Opaque:
+    """A value produced outside the einsum grammar: a candidate operand
+    expression.  ``deps`` = the real input positions its subtree reads;
+    ``reason`` explains why it left the grammar (surfaced if it reaches a
+    traced output unconsumed by any product/reduction)."""
+
+    def __init__(self, aval, deps, reason=None):
+        self.aval = aval
+        self.deps = frozenset(deps)
+        self.reason = reason
+
+
+@dataclass(frozen=True)
+class _Source:
+    """One einsum operand source: a traced input (``origin`` = its int
+    position), or an opaque expression / captured constant (``origin`` =
+    tuple of the input positions feeding it; ``()`` for constants)."""
+
+    name: str
+    shape: tuple
+    dtype: np.dtype
+    labels: tuple
+    origin: Union[int, tuple]
 
 
 def _as_terms(val) -> tuple:
     return val.terms if isinstance(val, _Sum) else (val,)
 
 
+def _mul_scale(a, b):
+    return None if (a is None or b is None) else a * b
+
+
 @dataclass(frozen=True)
 class InsnInfo:
     """What ``insn_match`` predicates see about one matched instruction
     (one addend of one traced output): which output it contributes to, its
-    position among that output's addends, and the argument names of the
-    operands it reads (in use order)."""
+    position among that output's addends, the argument names of the operands
+    it reads (in use order, expression operands as ``expr<k>``), and the
+    accumulated scalar factor.
+
+    ``scale`` is the product of the instruction's sign (from ``sub``/``neg``
+    sites) and any scalar *literal* factors; it is ``None`` when a traced
+    rank-0 factor was absorbed (value unknowable at trace time).  A matched
+    einsum evaluates the instruction *without* this factor — re-evaluating
+    ``fn`` from matched einsums must re-apply each instruction's ``scale``
+    (ADVICE r2)."""
 
     out_index: int
     term_index: int
     arg_names: tuple
     flat_index: int
+    scale: Optional[float] = 1.0
 
 
 InsnMatchT = Union[int, tuple, Callable[[InsnInfo], bool], None]
@@ -114,10 +169,11 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                           arg_names: Optional[Sequence] = None) -> tuple:
     """Trace *fn* and walk its jaxpr under the (extended) einsum grammar.
 
-    Returns ``(jaxpr, labels, in_axis_labels, arg_names, out_sums)`` where
-    ``out_sums[k]`` is the tuple of einsum instructions (:class:`_Term`)
-    whose sum the k-th traced output computes (a single-term tuple for a
-    plain einsum output).
+    Returns ``(labels, sources, arg_names, out_sums)`` where ``sources`` is
+    the operand-source table (traced inputs first, then opaque expression
+    operands — see :class:`_Source`) and ``out_sums[k]`` is the tuple of
+    einsum instructions (:class:`_Term`) whose sum the k-th traced output
+    computes (a single-term tuple for a plain einsum output).
     """
     from jax.extend.core import Literal
 
@@ -132,54 +188,112 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
     if len(arg_names) < len(example_args):
         arg_names = list(arg_names) + [
             f"arg{i}" for i in range(len(arg_names), len(example_args))]
+    arg_names = list(arg_names)
 
     closed = _trace(fn, example_args)
     jaxpr = closed.jaxpr
-    if closed.consts:
-        raise EinsumMatchError(
-            "matched function must not capture traced constants")
 
     labels = _Labels()
     env: dict = {}
+    sources: list = []
+    taken = set(arg_names)
 
-    in_axis_labels = []
+    def add_source(name: str, shape, dtype, origin) -> int:
+        axis_labels = tuple(labels.fresh() for _ in shape)
+        sources.append(_Source(name, tuple(int(s) for s in shape),
+                               np.dtype(dtype), axis_labels, origin))
+        return len(sources) - 1
+
+    def fresh_expr_name() -> str:
+        k = 0
+        while f"expr{k}" in taken:
+            k += 1
+        taken.add(f"expr{k}")
+        return f"expr{k}"
+
     for i, var in enumerate(jaxpr.invars):
-        axis_labels = [labels.fresh() for _ in var.aval.shape]
-        in_axis_labels.append(axis_labels)
-        env[var] = _Term(axis_labels, [(i, tuple(axis_labels))], ())
+        idx = add_source(arg_names[i], var.aval.shape, var.aval.dtype, i)
+        env[var] = _Term(sources[idx].labels,
+                         [(idx, sources[idx].labels)], ())
+
+    # captured constants are opaque operand expressions with no input deps
+    # (the reference's subst-rule seam admits them; VERDICT r2 missing #1)
+    for cv in jaxpr.constvars:
+        env[cv] = _Opaque(cv.aval, ())
 
     def is_scalar_literal(atom) -> bool:
         return isinstance(atom, Literal) and np.ndim(atom.val) == 0
+
+    def deps_of(val) -> frozenset:
+        if isinstance(val, _Opaque):
+            return val.deps
+        deps: set = set()
+        for t in _as_terms(val):
+            for idx, _ls in t.operands:
+                origin = sources[idx].origin
+                deps.update((origin,) if isinstance(origin, int) else origin)
+        return frozenset(deps)
+
+    def atom_deps(atom) -> frozenset:
+        if isinstance(atom, Literal):
+            return frozenset()
+        return deps_of(env[atom])
+
+    expr_memo: dict = {}
+
+    def materialize(atom) -> _Term:
+        """The seam: turn a non-term value (opaque subtree, sum feeding a
+        product, array literal) into a single-operand term backed by a fresh
+        ``expr<k>`` source, memoized per producing value so reuse maps to
+        ONE operand."""
+        if isinstance(atom, Literal):
+            arr = np.asarray(atom.val)
+            idx = add_source(fresh_expr_name(), arr.shape, arr.dtype, ())
+            return _Term(sources[idx].labels,
+                         [(idx, sources[idx].labels)], ())
+        val = env[atom]
+        if isinstance(val, _Term):
+            return val
+        if atom in expr_memo:
+            return expr_memo[atom]
+        idx = add_source(fresh_expr_name(), atom.aval.shape,
+                         atom.aval.dtype, tuple(sorted(deps_of(val))))
+        t = _Term(sources[idx].labels, [(idx, sources[idx].labels)], ())
+        expr_memo[atom] = t
+        return t
 
     def read(atom):
         if isinstance(atom, Literal):
             raise EinsumMatchError(
                 f"literal {atom} is not part of the einsum grammar")
-        if atom not in env:
-            raise EinsumMatchError(f"value {atom} has unknown provenance")
         return env[atom]
-
-    def read_term(atom, prim) -> _Term:
-        """Read an atom that must be a single einsum term (not a sum)."""
-        val = read(atom)
-        terms = _as_terms(val)
-        if len(terms) > 1:
-            raise EinsumMatchError(
-                f"'{prim}' applied to a sum of einsums: products of sums "
-                f"are outside the grammar — factor the function so each "
-                f"addend is a standalone einsum, then select with "
-                f"insn_match")
-        return terms[0]
 
     def map_terms(val, f):
         terms = tuple(f(t) for t in _as_terms(val))
         return terms[0] if len(terms) == 1 else _Sum(terms)
 
+    def structural(eqn, f_term):
+        """Unary shape/dtype primitives: part of the term when applied to a
+        grammar value, part of the operand expression when applied to an
+        opaque one."""
+        val = read(eqn.invars[0])
+        if isinstance(val, _Opaque):
+            env[eqn.outvars[0]] = _Opaque(eqn.outvars[0].aval, val.deps)
+        else:
+            env[eqn.outvars[0]] = map_terms(val, f_term)
+
+    def mark_opaque(eqn, reason=None):
+        deps: set = set()
+        for v in eqn.invars:
+            deps.update(atom_deps(v))
+        for ov in eqn.outvars:
+            env[ov] = _Opaque(ov.aval, frozenset(deps), reason)
+
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
         if prim == "dot_general":
-            a = read_term(eqn.invars[0], prim)
-            b = read_term(eqn.invars[1], prim)
+            a = materialize(eqn.invars[0])
+            b = materialize(eqn.invars[1])
             (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
             for la, ra in zip(lc, rc):
                 labels.unify(a.labels[la], b.labels[ra])
@@ -194,32 +308,63 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
             contracted = (set(a.contracted) | set(b.contracted)
                           | {a.labels[d] for d in lc})
             env[eqn.outvars[0]] = _Term(
-                out_labels, a.operands + b.operands, contracted)
+                out_labels, a.operands + b.operands, contracted,
+                _mul_scale(a.scale, b.scale))
         elif prim == "transpose":
             perm = eqn.params["permutation"]
-            env[eqn.outvars[0]] = map_terms(
-                read(eqn.invars[0]),
-                lambda t: _Term([t.labels[p] for p in perm],
-                                t.operands, t.contracted))
+            structural(eqn, lambda t: _Term([t.labels[p] for p in perm],
+                                            t.operands, t.contracted,
+                                            t.scale))
         elif prim == "reduce_sum":
             axes = set(eqn.params["axes"])
+            val = read(eqn.invars[0])
+            if isinstance(val, _Opaque):  # reduction = a grammar boundary
+                val = materialize(eqn.invars[0])
             env[eqn.outvars[0]] = map_terms(
-                read(eqn.invars[0]),
+                val,
                 lambda t: _Term(
                     [l for d, l in enumerate(t.labels) if d not in axes],
                     t.operands,
-                    set(t.contracted) | {t.labels[d] for d in axes}))
-        elif prim == "mul":
-            # scalar *literal* factors scale a term without changing its
-            # einsum structure (reference keeps them in the operand subst
-            # expression, codegen/loopy.py:94-95) — pass the value through
-            scalar_side = [is_scalar_literal(v) for v in eqn.invars]
-            if any(scalar_side):
-                other = eqn.invars[1 - scalar_side.index(True)]
-                env[eqn.outvars[0]] = read(other)
+                    set(t.contracted) | {t.labels[d] for d in axes},
+                    t.scale))
+        elif prim in ("mul", "div"):
+            # scalar factors scale a term without changing its einsum
+            # structure (reference keeps them in the operand subst
+            # expression, codegen/loopy.py:94-95): literals multiply into
+            # the term's scale; traced rank-0 factors make it unknown (None)
+            def rank0(atom):
+                if isinstance(atom, Literal):
+                    return np.ndim(atom.val) == 0
+                return len(atom.aval.shape) == 0
+
+            sides = [rank0(v) for v in eqn.invars]
+            if any(sides):
+                if prim == "div" and sides[0] and not sides[1]:
+                    mark_opaque(eqn)      # scalar / tensor: not a scaling
+                    continue
+                s_atom = eqn.invars[sides.index(True)]
+                other = eqn.invars[1 - sides.index(True)]
+                if is_scalar_literal(s_atom):
+                    v = s_atom.val
+                    factor = (1.0 / v) if prim == "div" else v
+                else:
+                    factor = None
+                val = read(other)
+                if isinstance(val, _Opaque):
+                    env[eqn.outvars[0]] = _Opaque(
+                        eqn.outvars[0].aval,
+                        val.deps | atom_deps(s_atom))
+                else:
+                    env[eqn.outvars[0]] = map_terms(
+                        val, lambda t: _Term(t.labels, t.operands,
+                                             t.contracted,
+                                             _mul_scale(t.scale, factor)))
                 continue
-            a = read_term(eqn.invars[0], prim)
-            b = read_term(eqn.invars[1], prim)
+            if prim == "div":
+                mark_opaque(eqn)          # tensor / tensor: outside grammar
+                continue
+            a = materialize(eqn.invars[0])
+            b = materialize(eqn.invars[1])
             if len(a.labels) != len(b.labels):
                 raise EinsumMatchError(
                     "elementwise product of mismatched ranks; broadcast"
@@ -228,14 +373,29 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                 labels.unify(la, lb_)
             env[eqn.outvars[0]] = _Term(
                 a.labels, a.operands + b.operands,
-                set(a.contracted) | set(b.contracted))
+                set(a.contracted) | set(b.contracted),
+                _mul_scale(a.scale, b.scale))
         elif prim in ("add", "sub"):
-            if any(isinstance(v, Literal) for v in eqn.invars):
-                raise EinsumMatchError(
+            if any(is_scalar_literal(v) for v in eqn.invars) or any(
+                    not isinstance(v, Literal)
+                    and len(v.aval.shape) == 0 for v in eqn.invars):
+                # a scalar offset is not an einsum sum — but the offset-ed
+                # value may still feed a product as an operand expression
+                mark_opaque(eqn, reason=(
                     f"'{prim}' with a scalar offset is outside the einsum"
-                    f" grammar (only sums of einsum terms are matched)")
-            ta = _as_terms(read(eqn.invars[0]))
-            tb = _as_terms(read(eqn.invars[1]))
+                    f" grammar (only sums of einsum terms are matched)"))
+                continue
+            vals = []
+            for v in eqn.invars:
+                val = materialize(v) if (
+                    isinstance(v, Literal)
+                    or isinstance(env.get(v), _Opaque)) else read(v)
+                vals.append(val)
+            ta = _as_terms(vals[0])
+            tb = _as_terms(vals[1])
+            if prim == "sub":
+                tb = tuple(_Term(t.labels, t.operands, t.contracted,
+                                 _mul_scale(t.scale, -1.0)) for t in tb)
             rank = len(ta[0].labels)
             if any(len(t.labels) != rank for t in ta + tb):
                 raise EinsumMatchError(
@@ -246,7 +406,9 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                     labels.unify(la, lb_)
             env[eqn.outvars[0]] = _Sum(ta + tb)
         elif prim == "neg":
-            env[eqn.outvars[0]] = read(eqn.invars[0])
+            structural(eqn, lambda t: _Term(t.labels, t.operands,
+                                            t.contracted,
+                                            _mul_scale(t.scale, -1.0)))
         elif prim == "broadcast_in_dim":
             bdims = eqn.params["broadcast_dimensions"]
             shape = eqn.params["shape"]
@@ -257,33 +419,45 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                     out_labels[dst] = t.labels[src]
                 out_labels = [labels.fresh() if l is None else l
                               for l in out_labels]
-                return _Term(out_labels, t.operands, t.contracted)
+                return _Term(out_labels, t.operands, t.contracted, t.scale)
 
-            env[eqn.outvars[0]] = map_terms(read(eqn.invars[0]), bcast)
+            structural(eqn, bcast)
         elif prim in ("convert_element_type",):
-            env[eqn.outvars[0]] = map_terms(
-                read(eqn.invars[0]),
-                lambda t: _Term(t.labels, t.operands, t.contracted))
+            structural(eqn, lambda t: _Term(t.labels, t.operands,
+                                            t.contracted, t.scale))
         else:
+            # outside the grammar: the value becomes a candidate operand
+            # expression (cut at the next product/reduction boundary)
+            mark_opaque(eqn)
+
+    out_sums = []
+    for k, v in enumerate(jaxpr.outvars):
+        if isinstance(v, Literal):
             raise EinsumMatchError(
-                f"primitive '{prim}' is outside the batched-einsum grammar")
+                f"traced output {k} is a constant, not an einsum")
+        val = env[v]
+        if isinstance(val, _Opaque):
+            raise EinsumMatchError(
+                f"traced output {k} is computed entirely by primitives"
+                f" outside the batched-einsum grammar (no product/reduction"
+                f" structure to match)"
+                + (f": {val.reason}" if val.reason else ""))
+        out_sums.append(_as_terms(val))
+    return labels, sources, arg_names, out_sums
 
-    out_sums = [_as_terms(read(v)) for v in jaxpr.outvars]
-    return jaxpr, labels, in_axis_labels, list(arg_names), out_sums
 
-
-def _insn_infos(out_sums, arg_names) -> list:
+def _insn_infos(out_sums, sources) -> list:
     infos, flat = [], 0
     for oi, terms in enumerate(out_sums):
         for ti, term in enumerate(terms):
             names = tuple(dict.fromkeys(
-                arg_names[idx] for idx, _ in term.operands))
-            infos.append(InsnInfo(oi, ti, names, flat))
+                sources[idx].name for idx, _ in term.operands))
+            infos.append(InsnInfo(oi, ti, names, flat, term.scale))
             flat += 1
     return infos
 
 
-def _select_instructions(out_sums, arg_names, insn_match) -> list:
+def _select_instructions(out_sums, sources, insn_match) -> list:
     """Resolve *insn_match* to the list of selected instruction terms."""
     insns = [(oi, ti, term)
              for oi, terms in enumerate(out_sums)
@@ -298,7 +472,7 @@ def _select_instructions(out_sums, arg_names, insn_match) -> list:
                 f"(out_index, term_index) pair, or a predicate over "
                 f"InsnInfo (see get_matched_einsums to enumerate them)")
         return insns
-    infos = _insn_infos(out_sums, arg_names)
+    infos = _insn_infos(out_sums, sources)
     if callable(insn_match):
         selected = [insn for insn, info in zip(insns, infos)
                     if insn_match(info)]
@@ -315,26 +489,14 @@ def _select_instructions(out_sums, arg_names, insn_match) -> list:
     return selected
 
 
-def get_a_matched_einsum(
-        fn: Callable, example_args: Sequence, *,
-        long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
-        arg_names: Optional[Sequence] = None,
-        insn_match: InsnMatchT = None) -> tuple:
-    """Match the traced *fn* against the batched-einsum grammar.
+def _assemble_matched_einsum(labels, sources, selected, *,
+                             long_dim_length: int) -> tuple:
+    """Build ``(einsum, name_map)`` from selected instruction rows (the
+    post-selection half of the match, shared by :func:`get_a_matched_einsum`
+    and :func:`get_matched_einsums` so enumeration traces ONCE — ADVICE r2).
 
-    Returns ``(einsum, name_map)`` where the einsum's operand names are *fn*'s
-    parameter names and ``name_map`` maps them to input positions (parity:
-    reference ``get_a_matched_einsum``; the name map plays the bidict role).
-
-    If *fn* computes a sum of einsums, *insn_match* selects the
-    instruction(s) to match (reference parity: the loopy ``insn_match``
-    filter, loopy_utils/__init__.py:233-254): a flat instruction index, an
-    ``(out_index, term_index)`` pair, or a predicate over :class:`InsnInfo`.
-    Multiple selected instructions must form batch rows of one einsum.
-    """
-    jaxpr, labels, in_axis_labels, arg_names, out_sums = (
-        _collect_instructions(fn, example_args, arg_names=arg_names))
-    selected = _select_instructions(out_sums, arg_names, insn_match)
+    Only multi-row selections mutate the shared union-find (batch-row
+    unification); single-row assembly is read-only."""
     rows = [term for _oi, _ti, term in selected]
 
     # batched-einsum structure: rows share the output index space
@@ -356,8 +518,8 @@ def get_a_matched_einsum(
 
     # every label class must have a single consistent axis length
     class_size: dict = {}
-    for i, var in enumerate(jaxpr.invars):
-        for lbl, size in zip(in_axis_labels[i], var.aval.shape):
+    for src in sources:
+        for lbl, size in zip(src.labels, src.shape):
             root = labels.find(lbl)
             if class_size.setdefault(root, size) != size:
                 raise EinsumMatchError(
@@ -367,7 +529,7 @@ def get_a_matched_einsum(
     # assign letters per label class; outputs first for stable naming.
     # letters must not collide with operand names (IR invariant)
     letter_of: dict = {}
-    taken = set(arg_names)
+    taken = {src.name for src in sources}
     letter_pool = iter(c for c in string.ascii_lowercase if c not in taken)
 
     def letter(lbl: int) -> str:
@@ -411,7 +573,7 @@ def get_a_matched_einsum(
             raise EinsumMatchError(
                 f"batch rows disagree on operand {j} subscripts")
 
-    # axis lengths (+ long-axis promotion) and dtypes from the traced avals
+    # axis lengths (+ long-axis promotion) and dtypes from the source table
     def length_of(lbl: int, size: int):
         if size >= long_dim_length:
             return f"N{letter(lbl)}_"
@@ -421,18 +583,44 @@ def get_a_matched_einsum(
     for ops in row_ops:
         row_arrays = []
         for idx, subs in ops:
-            aval = jaxpr.invars[idx].aval
+            src = sources[idx]
             shape = [length_of(l, s)
-                     for l, s in zip(in_axis_labels[idx], aval.shape)]
-            row_arrays.append(
-                make_array(arg_names[idx], shape, np.dtype(aval.dtype)))
+                     for l, s in zip(src.labels, src.shape)]
+            row_arrays.append(make_array(src.name, shape, src.dtype))
         arrays.append(row_arrays)
 
     in_spec = ",".join(ops_j[1] for ops_j in row_ops[0])
     einsum = batched_einsum(f"{in_spec}->{out_subs[0]}", arrays)
     used = sorted({idx for row in rows for idx, _ in row.operands})
-    name_map = {arg_names[i]: i for i in used}
+    name_map = {sources[i].name: sources[i].origin for i in used}
     return einsum, name_map
+
+
+def get_a_matched_einsum(
+        fn: Callable, example_args: Sequence, *,
+        long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
+        arg_names: Optional[Sequence] = None,
+        insn_match: InsnMatchT = None) -> tuple:
+    """Match the traced *fn* against the batched-einsum grammar.
+
+    Returns ``(einsum, name_map)`` where the einsum's operand names are *fn*'s
+    parameter names — or ``expr<k>`` for operands that are arbitrary
+    expressions / captured constants (the substitution-rule seam; module
+    docstring) — and ``name_map`` maps them to input positions (``int`` for
+    traced parameters, tuple of feeding positions for expressions).  Parity:
+    reference ``get_a_matched_einsum``; the name map plays the bidict role.
+
+    If *fn* computes a sum of einsums, *insn_match* selects the
+    instruction(s) to match (reference parity: the loopy ``insn_match``
+    filter, loopy_utils/__init__.py:233-254): a flat instruction index, an
+    ``(out_index, term_index)`` pair, or a predicate over :class:`InsnInfo`.
+    Multiple selected instructions must form batch rows of one einsum.
+    """
+    labels, sources, _names, out_sums = (
+        _collect_instructions(fn, example_args, arg_names=arg_names))
+    selected = _select_instructions(out_sums, sources, insn_match)
+    return _assemble_matched_einsum(labels, sources, selected,
+                                    long_dim_length=long_dim_length)
 
 
 def get_matched_einsums(
@@ -442,15 +630,23 @@ def get_matched_einsums(
     """Match every einsum instruction of *fn* separately (the enumeration
     companion of ``insn_match``): returns a list of
     ``(einsum, name_map, InsnInfo)`` triples, one per addend per traced
-    output."""
-    _jaxpr, _labels, _in_labels, names, out_sums = _collect_instructions(
+    output.  *fn* is traced ONCE; per-instruction assembly reuses the single
+    collection pass (single-row assembly never mutates shared state).
+
+    Results are structure-only for evaluation purposes: each einsum computes
+    its instruction WITHOUT the instruction's sign/scalar factor — re-apply
+    :attr:`InsnInfo.scale` (``None`` = a traced scalar factor, unknowable
+    here) before summing matched einsums back into *fn*'s value."""
+    labels, sources, _names, out_sums = _collect_instructions(
         fn, example_args, arg_names=arg_names)
-    infos = _insn_infos(out_sums, names)
+    infos = _insn_infos(out_sums, sources)
+    insns = [(oi, ti, term)
+             for oi, terms in enumerate(out_sums)
+             for ti, term in enumerate(terms)]
     out = []
-    for info in infos:
-        einsum, name_map = get_a_matched_einsum(
-            fn, example_args, long_dim_length=long_dim_length,
-            arg_names=arg_names, insn_match=info.flat_index)
+    for info, insn in zip(infos, insns):
+        einsum, name_map = _assemble_matched_einsum(
+            labels, sources, [insn], long_dim_length=long_dim_length)
         out.append((einsum, name_map, info))
     return out
 

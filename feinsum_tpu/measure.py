@@ -378,8 +378,9 @@ def _timeit_device_trace(fn, arrays: dict, *, n_iters: int = 30,
             # emulation splits the program): one group's median would
             # under-report the launch (measured: f64 div 1195 ms largest
             # module vs 3633 ms scalar-fenced wall), so sum the groups'
-            # medians — exact when the modules run back-to-back, still a
-            # lower bound if they overlap
+            # medians — exact when the modules run back-to-back, an UPPER
+            # bound if they overlap (the sum then over-reports the launch,
+            # i.e. understates performance; ADVICE r2)
             logger.warning(
                 "device trace shows %d jit modules with ~%d launches each;"
                 " reporting the sum of their median spans", len(matching),

@@ -43,13 +43,23 @@ def test_chunked_f64_div_matches_oracle():
     run(prog, e, 1024, 1e-12)
 
 
-def test_chunk_rounds_to_length_divisor():
-    # 1000 is not divisible by the requested 256: the builder rounds the
-    # block down to the largest divisor (250) instead of failing
+def test_chunk_pads_non_divisible_length():
+    # 1000 is not divisible by the requested 256: the builder zero-pads the
+    # tail chunk and slices the output (it must NOT degenerate to tiny
+    # divisor blocks — ADVICE r2)
     e = make_div(5, "float32")
     prog = f.generate_program(e).with_descriptor(
         backend="xla", precision="highest", xla_block_long=256)
     run(prog, e, 1000, 2e-5)
+
+
+def test_chunk_prime_length_keeps_block_size():
+    # a prime length used to collapse blk to 1 (~length sequential chunks);
+    # now it pads: still correct, and the chunk count stays bounded
+    e = make_div(4, "float64")
+    prog = f.generate_program(e).with_descriptor(
+        backend="xla", precision="highest", xla_block_long=128)
+    run(prog, e, 997, 1e-12)
 
 
 def test_chunked_respects_out_layout():
