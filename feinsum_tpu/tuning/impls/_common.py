@@ -13,6 +13,35 @@ from feinsum_tpu.einsum import SizeParam
 VMEM_BUDGET_BYTES = 100 * 1024 * 1024
 
 
+def has_resident_private_indices(einsum) -> bool:
+    """True iff some resident (no-long-axis) operand carries indices private
+    to it (reducible ahead of the main contraction — the prereduce knob's
+    applicability condition; see :func:`prereduce_resident_private`)."""
+    e = einsum
+    for p in range(e.n):
+        sub = e.in_idx_sets[p]
+        if any(isinstance(e.index_to_dim_length[ix], SizeParam)
+               for ix in sub):
+            continue
+        elsewhere = set(e.out_idx_set)
+        for q in range(e.n):
+            if q != p:
+                elsewhere |= set(e.in_idx_sets[q])
+        if any(ix not in elsewhere for ix in sub):
+            return True
+    return False
+
+
+def jfold_applicable(einsum) -> bool:
+    """jfold needs >= 2 streamed operands (to form the outer product) and
+    >= 1 resident operand (to contract against)."""
+    e = einsum
+    n_long = sum(
+        1 for s in e.in_idx_sets
+        if any(isinstance(e.index_to_dim_length[ix], SizeParam) for ix in s))
+    return 2 <= n_long < e.n
+
+
 def long_axis_of(einsum) -> str:
     params = [ix for ix, ln in einsum.index_to_dim_length.items()
               if isinstance(ln, SizeParam)]
@@ -209,3 +238,55 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
         block_long=block_long,
         dimension_semantics="parallel" if parallel_grid else "arbitrary",
         **desc)
+
+
+def make_dg_space(*, log2_block_max: int = 18):
+    """ONE definition site for the DG-family schedule space (VERDICT r2
+    weak #7: the per-family decorator stacks had drifted — curl had
+    ``prereduce`` but div didn't, ``mfold`` existed only in grad).  Every
+    family module does ``transform = make_dg_space()`` so each knob that
+    wins on one family is searchable on all of them; knobs whose
+    applicability depends on einsum structure gate themselves
+    (``IntParameter(0, 0)`` = pinned off) so the tuner never wastes samples.
+
+    Archive compatibility: all knobs beyond the original trio default to
+    their pre-growth behavior, so old facts replay unchanged and the
+    tuner's signature-default backfill seeds grown spaces from them
+    (tuning/__init__.py:281-287)."""
+    from feinsum_tpu.tuning import (
+        BoolParameter, IntParameter, transform_param)
+
+    def gate(cond):
+        return BoolParameter() if cond else IntParameter(0, 0)
+
+    @transform_param("log2_block", lambda e: IntParameter(8, log2_block_max))
+    @transform_param("blkc128", lambda e: IntParameter(0, 32))
+    @transform_param("dofmajor", lambda e: BoolParameter())
+    @transform_param("fold", lambda e: BoolParameter())
+    @transform_param("preblock", lambda e: BoolParameter())
+    @transform_param("precision_3x", lambda e: BoolParameter())
+    @transform_param("hoist", lambda e: BoolParameter())
+    @transform_param("jfold", lambda e: gate(jfold_applicable(e)))
+    @transform_param("mfold", lambda e: BoolParameter())
+    @transform_param("prereduce", lambda e: gate(
+        has_resident_private_indices(e)))
+    @transform_param("parallel_grid", lambda e: BoolParameter())
+    @transform_param("vmem_idx", lambda e: IntParameter(0, 2))
+    @transform_param("split_rows", lambda e: gate(e.b > 1))
+    @transform_param("accum_f32", lambda e: gate(
+        any(dt.itemsize < 4 for dt in e.arg_to_dtype.values())))
+    @transform_param("host_hoist", lambda e: BoolParameter())
+    def transform(program, log2_block, blkc128=0, *, dofmajor, parallel_grid,
+                  hoist=False, fold=False, preblock=False, precision_3x=False,
+                  jfold=False, mfold=False, prereduce=False, vmem_idx=None,
+                  split_rows=False, accum_f32=False, host_hoist=True):
+        return fused_pallas_program(
+            program, block_long=resolve_block(log2_block, blkc128),
+            hoist=bool(hoist), parallel_grid=parallel_grid,
+            dofmajor=dofmajor, fold=fold, preblock=preblock,
+            precision_3x=precision_3x, jfold=bool(jfold), mfold=bool(mfold),
+            prereduce=bool(prereduce), vmem_idx=vmem_idx,
+            split_rows=bool(split_rows), accum_f32=bool(accum_f32),
+            host_hoist=bool(host_hoist))
+
+    return transform

@@ -349,3 +349,81 @@ def test_shipped_archive_integrity():
         assert callable(best.transform)           # lazy import + bind
         bound += 1
     assert bound >= 50, f"only {bound} classes have TPU_v5_lite champions"
+
+
+def test_bench_ceiling_accounting_smoke(capsys):
+    """The per-row ceiling accounting printed to bench stderr (VERDICT r2
+    weak #3): tiled bytes amplify sublane-padded small-ndof operands, and
+    the serial/tiled-serial ceilings land in (0, 100%]."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    import numpy as np
+    import feinsum_tpu as f
+
+    # (E, 4) f32: 4 sublanes pad to 8 -> ~2x tiled amplification (dof-major
+    # (4, E) likewise); 1D and aligned shapes don't amplify
+    assert bench._tiled_bytes((1024,), 4) == 1024 * 4
+    assert bench._tiled_bytes((4, 1024), 4) == 8 * 1024 * 4
+    assert bench._tiled_bytes((8, 128), 4) == 8 * 128 * 4
+    assert bench._tiled_bytes((3, 5, 130), 4) == 3 * 8 * 256 * 4
+
+    e = f.einsum("es,sij,ej->ei",
+                 f.array("J", ("E", 3), "float32"),
+                 f.array("R", (3, 4, 4), "float32"),
+                 f.array("u", ("E", 4), "float32"))
+    E = 4096
+    arrays = {"J": np.ones((E, 3), np.float32),
+              "R": np.ones((3, 4, 4), np.float32),
+              "u": np.ones((E, 4), np.float32)}
+    outs = (np.ones((E, 4), np.float32),)
+    bench.log_ceiling_accounting("row", e, arrays, outs, 100.0, 0.7,
+                                 "TPU_v5_lite", E)
+    err = capsys.readouterr().err
+    assert "tiled-serial" in err and "achieved  70.0%" in err
+
+
+def test_dg_spaces_share_full_knob_set():
+    """VERDICT r2 weak #7 / next #6: ONE definition site for the DG spaces —
+    every family exposes the full knob vocabulary; structurally inapplicable
+    knobs gate to a pinned-off IntParameter(0,0)."""
+    from feinsum_tpu.tuning import (
+        BoolParameter, IntParameter, get_transform_func_from_module_path)
+    import feinsum_tpu as f
+
+    ndof = 7
+    div = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(j, ("E", 3), "float32"),
+          f.array("R", (3, ndof, ndof), "float32"),
+          f.array(u, ("E", ndof), "float32")]
+         for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+    curl = f.batched_einsum(
+        "e,rij,ej->ei",
+        [[f.array(j, ("E",), "float32"),
+          f.array("D", (3, ndof, ndof), "float32"),
+          f.array(u, ("E", ndof), "float32")]
+         for j, u in [("Jy", "uz"), ("Jz", "ux"), ("Jx", "uy")]])
+    matvec = f.einsum("ej,ij->ei", f.array("u", ("E", ndof), "float32"),
+                      f.array("D", (ndof, ndof), "float32"))
+
+    modules = ["dg_div_v0", "dg_grad_v0", "face_mass_v0", "curl_3d_v0",
+               "mass_v0"]
+    spaces = {m: get_transform_func_from_module_path(m).get_param_space(div)
+              for m in modules}
+    names = {m: set(sp) for m, sp in spaces.items()}
+    assert len(set(map(frozenset, names.values()))) == 1, names
+    for knob in ("prereduce", "mfold", "jfold", "host_hoist", "hoist"):
+        assert knob in names["dg_div_v0"]
+
+    sp = get_transform_func_from_module_path("curl_3d_v0")
+    # curl: prereduce gates ON (D's r is private); div: OFF (R's s is shared)
+    assert isinstance(sp.get_param_space(curl)["prereduce"], BoolParameter)
+    assert isinstance(sp.get_param_space(div)["prereduce"], IntParameter)
+    # matvec: jfold gates OFF (single streamed operand)
+    assert isinstance(sp.get_param_space(matvec)["jfold"], IntParameter)
+    # archived params from the pre-consolidation narrower spaces still bind
+    tr = sp.bind_args(curl, log2_block=12, dofmajor=True, parallel_grid=True,
+                      hoist=False)
+    f.validate_batched_einsum_transform(curl, tr, long_dim_length=640)
