@@ -111,6 +111,22 @@ class ScheduleDescriptor:
     # docstring) — e.g. grad's 3 r-dots of M=35 become one dot of M=120,
     # 3x fewer MXU tile passes
     mfold: bool = False
+    # lane-pack rewrite contract (the small-dof matvec-class answer to the
+    # reference's n_e_per_wg element packing, tuning/impls/
+    # xre_rij_xej_to_ei_v4.py:41-114): the program's einsum is REWRITTEN so
+    # g consecutive elements share one dof axis — u (E, d) is stored
+    # (E/g, g*d) (a free reshape of the row-major buffer), the resident
+    # matrix becomes the block-diagonal kron(I_g, D) (computed in-graph,
+    # once per launch), and the output is delivered packed (E/g, g*d_out).
+    # The MXU then runs ONE dense (B, g*d)x(g*d, g*d) dot per block instead
+    # of B/d-sparse tiles: at d=20, g=32 the K/N fill rises 6.4x and the
+    # per-block fixed overhead amortizes over g x more elements.
+    # ``lane_pack`` = g; ``lane_pack_args`` = streamed operand names stored
+    # packed host-side; ``kron_args`` = resident names kron-expanded
+    # in-graph.  SizeParam axis lengths are divided by g at build time.
+    lane_pack: int = 1
+    lane_pack_args: tuple = ()
+    kron_args: tuple = ()
     # XLA route only: split the long (SizeParam) axis into chunks of this
     # many elements and lax.map the whole schedule over them sequentially.
     # This bounds the *intermediate* footprint — XLA's f64 emulation

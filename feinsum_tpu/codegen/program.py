@@ -209,6 +209,25 @@ def _logical_arrays(program: EinsumProgram, arrays_by_name: dict) -> dict:
 def _build_executable_cached(program: EinsumProgram, lengths_key: tuple):
     import jax
 
+    kron = tuple(getattr(program.descriptor, "kron_args", ()) or ())
+    g = getattr(program.descriptor, "lane_pack", 1) or 1
+    if kron and g > 1:
+        # lane-pack contract: resident operands arrive in their LOGICAL
+        # shape and are kron-expanded to block-diagonal form in-graph (tiny,
+        # once per launch; XLA feeds the result to the kernel as raw blocks)
+        inner = _build_executable_cached(
+            program.with_descriptor(kron_args=()), lengths_key)
+        import jax.numpy as jnp
+
+        def outer(arrays_by_name: dict):
+            arrays = dict(arrays_by_name)
+            for name in kron:
+                a = arrays[name]
+                arrays[name] = jnp.kron(jnp.eye(g, dtype=a.dtype), a)
+            return inner(arrays)
+
+        return jax.jit(outer)
+
     if program.descriptor.backend == "pallas":
         from ..ops.pallas_emitter import build_pallas_executable
         return build_pallas_executable(program, dict(lengths_key))
@@ -325,5 +344,16 @@ def build_executable(program: EinsumProgram, *,
     # einsum (descriptor.bind_lengths) override the caller's long_dim_length
     for ix, ln in program.descriptor.bind_lengths:
         index_to_length[ix] = int(ln)
+    # lane-pack rewrites scale the long axis: g elements per packed row
+    g = getattr(program.descriptor, "lane_pack", 1) or 1
+    if g > 1:
+        from ..diagnostics import InvalidParameterError
+        for ix, ln in program.einsum.index_to_dim_length.items():
+            if isinstance(ln, SizeParam):
+                if index_to_length[ix] % g:
+                    raise InvalidParameterError(
+                        f"lane_pack={g} requires the long axis length"
+                        f" ({index_to_length[ix]}) divisible by it")
+                index_to_length[ix] //= g
     lengths_key = tuple(sorted(index_to_length.items()))
     return _build_executable_cached(program, lengths_key)

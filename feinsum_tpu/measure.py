@@ -101,6 +101,18 @@ def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
     from .ops.layouts import apply_nested_layout, fold_arrays, preblock_arrays
 
     out = dict(arrays)
+    # lane-pack contract first: g consecutive elements of the leading long
+    # axis share one packed dof row, (E, *rest) -> (E/g, g*prod(rest)) —
+    # a free reshape of the row-major buffer (descriptor.lane_pack)
+    g = getattr(program.descriptor, "lane_pack", 1) or 1
+    for name in getattr(program.descriptor, "lane_pack_args", ()) or ():
+        arr = out[name]
+        if arr.shape[0] % g:
+            from .diagnostics import InvalidParameterError
+            raise InvalidParameterError(
+                f"lane_pack={g} requires {name}'s long axis"
+                f" ({arr.shape[0]}) divisible by it")
+        out[name] = arr.reshape((arr.shape[0] // g, -1))
     # pre_layouts: logical (user) axes -> the rewritten program's stored
     # grouping (e.g. rank-4 TC operand -> GEMM-natural 2D), applied first
     for name, nested in dict(program.descriptor.pre_layouts).items():
@@ -238,9 +250,11 @@ def validate_batched_einsum_transform(
             raise TypeError("transform must return an EinsumProgram")
 
     fold = getattr(program.descriptor, "fold_long", 1) or 1
-    if fold > 1 and long_dim_length % fold:
-        # folded layouts require the long axis divisible by fold_long
-        long_dim_length += fold - long_dim_length % fold
+    lane_g = getattr(program.descriptor, "lane_pack", 1) or 1
+    div = fold * lane_g
+    if div > 1 and long_dim_length % div:
+        # folded / lane-packed layouts require the long axis divisible
+        long_dim_length += div - long_dim_length % div
     if getattr(program.descriptor, "preblock_args", ()) and fold <= 1:
         # validate pre-blocked programs at a lane-friendly length: the
         # in-kernel (…, 8, blk_c) -> (…, 8*blk_c) merge (and downstream ops
@@ -272,6 +286,9 @@ def validate_batched_einsum_transform(
             # rewritten-program outputs are grouped (e.g. GEMM-natural 2D)
             from .ops.layouts import apply_nested_layout
             ref = apply_nested_layout(ref, pre_out)
+        if lane_g > 1:
+            # lane-packed outputs are delivered (E/g, g*d_out)
+            ref = np.reshape(ref, (ref.shape[0] // lane_g, -1))
         if out_layout is not None:
             # outputs are delivered in the descriptor's stored layout
             ref = np.transpose(ref, tuple(int(p) for p in out_layout))

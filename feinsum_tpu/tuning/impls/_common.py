@@ -270,6 +270,8 @@ def make_dg_space(*, log2_block_max: int = 18):
     @transform_param("mfold", lambda e: BoolParameter())
     @transform_param("prereduce", lambda e: gate(
         has_resident_private_indices(e)))
+    @transform_param("lane_pack_g", lambda e: (
+        IntParameter(0, 5) if lane_packable(e) else IntParameter(0, 0)))
     @transform_param("parallel_grid", lambda e: BoolParameter())
     @transform_param("vmem_idx", lambda e: IntParameter(0, 2))
     @transform_param("split_rows", lambda e: gate(e.b > 1))
@@ -278,9 +280,14 @@ def make_dg_space(*, log2_block_max: int = 18):
     @transform_param("host_hoist", lambda e: BoolParameter())
     def transform(program, log2_block, blkc128=0, *, dofmajor, parallel_grid,
                   hoist=False, fold=False, preblock=False, precision_3x=False,
-                  jfold=False, mfold=False, prereduce=False, vmem_idx=None,
-                  split_rows=False, accum_f32=False, host_hoist=True):
-        return fused_pallas_program(
+                  jfold=False, mfold=False, prereduce=False, lane_pack_g=0,
+                  vmem_idx=None, split_rows=False, accum_f32=False,
+                  host_hoist=True):
+        extras = None
+        if lane_pack_g:
+            program, extras = rewrite_lane_pack(program,
+                                                2 ** int(lane_pack_g))
+        p2 = fused_pallas_program(
             program, block_long=resolve_block(log2_block, blkc128),
             hoist=bool(hoist), parallel_grid=parallel_grid,
             dofmajor=dofmajor, fold=fold, preblock=preblock,
@@ -288,5 +295,83 @@ def make_dg_space(*, log2_block_max: int = 18):
             prereduce=bool(prereduce), vmem_idx=vmem_idx,
             split_rows=bool(split_rows), accum_f32=bool(accum_f32),
             host_hoist=bool(host_hoist))
+        if extras:
+            p2 = p2.with_descriptor(**extras)
+        return p2
 
     return transform
+
+
+def lane_packable(einsum):
+    """Shape check for the lane-pack rewrite (descriptor.lane_pack): a
+    single-row 2-operand matvec-class einsum — streamed operand (e, j) with
+    the long axis LEADING, resident 2D operand over {i, j} (both concrete),
+    output exactly (e, i).  Returns ``(el, i_letter, j_letter, streamed_name,
+    resident_name, resident_idx)`` or ``None``."""
+    e = einsum
+    if e.b != 1 or e.n != 2:
+        return None
+    long_letters = [ix for ix, ln in e.index_to_dim_length.items()
+                    if isinstance(ln, SizeParam)]
+    if len(long_letters) != 1:
+        return None
+    el = long_letters[0]
+    streamed = [p for p, s in enumerate(e.in_idx_sets) if el in s]
+    if len(streamed) != 1:
+        return None
+    sp = streamed[0]
+    rp = 1 - sp
+    s_idx, r_idx = e.in_idx_sets[sp], e.in_idx_sets[rp]
+    if len(s_idx) != 2 or s_idx[0] != el:
+        return None
+    j = s_idx[1]
+    if len(e.out_idx_set) != 2 or e.out_idx_set[0] != el:
+        return None
+    i = e.out_idx_set[1]
+    if set(r_idx) != {i, j} or i == j:
+        return None
+    return (el, i, j, e.args[0][sp].name, e.args[0][rp].name, tuple(r_idx))
+
+
+def rewrite_lane_pack(program, g: int):
+    """Rewrite a matvec-class program for ``lane_pack=g`` (the small-dof
+    element-packing answer to the reference's ``n_e_per_wg``,
+    tuning/impls/xre_rij_xej_to_ei_v4.py:41-114): the einsum becomes the
+    SAME class with d -> g*d and E -> E/g; streamed/output arrays are stored
+    packed (free reshapes of the row-major buffers) and the resident matrix
+    is kron(I_g, D) (block-diagonal, built in-graph once per launch).  The
+    MXU then contracts dense (B, g*d)x(g*d, g*d) tiles.
+
+    Returns ``(rewritten_program, descriptor_extras)``; raises
+    :class:`InvalidParameterError` when the shape does not qualify or g
+    breaks tiling (packed dims must be sublane-aligned: (g*d) % 8 == 0)."""
+    import feinsum_tpu as f
+
+    e = program.einsum
+    info = lane_packable(e)
+    if info is None:
+        raise InvalidParameterError(
+            "lane_pack applies only to matvec-class einsums"
+            " (streamed (e,j) x resident (i,j) -> (e,i))")
+    el, i, j, s_name, r_name, r_idx = info
+    di = int(e.index_to_dim_length[i])
+    dj = int(e.index_to_dim_length[j])
+    if (g * di) % 8 or (g * dj) % 8:
+        raise InvalidParameterError(
+            f"lane_pack={g}: packed dims ({g}*{di}, {g}*{dj}) must be"
+            f" 8-sublane-aligned")
+    if g * max(di, dj) > 4096:
+        raise InvalidParameterError(
+            f"lane_pack={g}: packed dim {g * max(di, dj)} exceeds the 4096"
+            f" resident cap")
+    dt = e.arg_to_dtype[s_name].name
+    rdt = e.arg_to_dtype[r_name].name
+    sizes = {i: g * di, j: g * dj}
+    e2 = f.einsum(
+        f"{el}{j},{''.join(r_idx)}->{el}{i}",
+        f.array(s_name, (f"N{el}_", g * dj), dt),
+        f.array(r_name, tuple(sizes[ix] for ix in r_idx), rdt))
+    extras = dict(lane_pack=int(g), lane_pack_args=(s_name,),
+                  kron_args=(r_name,))
+    return program.copy(einsum=e2,
+                        schedule=get_trivial_contraction_schedule(e2)), extras

@@ -1,0 +1,108 @@
+"""The lane_pack rewrite (descriptor.lane_pack): g elements share one packed
+dof row — the small-dof matvec-class answer to the reference's n_e_per_wg
+element packing (reference tuning/impls/xre_rij_xej_to_ei_v4.py:41-114;
+VERDICT r2 next #3)."""
+
+import numpy as np
+import pytest
+
+import feinsum_tpu as f
+from feinsum_tpu.diagnostics import InvalidParameterError
+from feinsum_tpu.tuning import (
+    IntParameter,
+    get_transform_func_from_module_path,
+)
+from feinsum_tpu.tuning.impls._common import lane_packable, rewrite_lane_pack
+
+
+def matvec(ndof=20, dtype="float32"):
+    return f.einsum("ej,ij->ei", f.array("u", ("E", ndof), dtype),
+                    f.array("D", (ndof, ndof), dtype))
+
+
+def test_lane_pack_validates_against_oracle():
+    sp = get_transform_func_from_module_path("mass_v0")
+    e = matvec()
+    for kwargs in (dict(dofmajor=False, lane_pack_g=2),
+                   dict(dofmajor=False, lane_pack_g=5),
+                   dict(dofmajor=True, lane_pack_g=5)):
+        tr = sp.bind_args(e, log2_block=10, parallel_grid=True, **kwargs)
+        f.validate_batched_einsum_transform(e, tr, long_dim_length=2048)
+
+
+def test_lane_pack_rect_and_transposed_resident():
+    sp = get_transform_func_from_module_path("mass_v0")
+    rect = f.einsum("ej,ij->ei", f.array("u", ("E", 16), "float32"),
+                    f.array("D", (8, 16), "float32"))
+    tr = sp.bind_args(rect, log2_block=10, dofmajor=True, parallel_grid=True,
+                      lane_pack_g=3)
+    f.validate_batched_einsum_transform(rect, tr, long_dim_length=2048)
+    tr_ji = f.einsum("ej,ji->ei", f.array("u", ("E", 16), "float32"),
+                     f.array("D", (16, 8), "float32"))
+    tr = sp.bind_args(tr_ji, log2_block=10, dofmajor=True,
+                      parallel_grid=True, lane_pack_g=2)
+    f.validate_batched_einsum_transform(tr_ji, tr, long_dim_length=2048)
+
+
+def test_lane_pack_gates_by_class():
+    sp = get_transform_func_from_module_path("dg_div_v0")
+    div = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(j, ("E", 3), "float32"),
+          f.array("R", (3, 5, 5), "float32"),
+          f.array(u, ("E", 5), "float32")]
+         for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+    p = sp.get_param_space(div)["lane_pack_g"]
+    assert isinstance(p, IntParameter) and p.high == 0   # gated off
+    vecmat = f.einsum("ej,j->e", f.array("A", ("E", 35), "float32"),
+                      f.array("x", (35,), "float32"))
+    assert lane_packable(vecmat) is None
+    assert lane_packable(matvec()) is not None
+    p2 = sp.get_param_space(matvec())["lane_pack_g"]
+    assert p2.high == 5
+
+
+def test_lane_pack_rejects_misaligned_g():
+    # g*d must be 8-sublane-aligned: ndof 35 with g=2 -> 70 % 8 != 0
+    prog = f.generate_program(matvec(35))
+    with pytest.raises(InvalidParameterError, match="8-sublane"):
+        rewrite_lane_pack(prog, 2)
+    p2, extras = rewrite_lane_pack(prog, 8)      # 280 % 8 == 0
+    assert extras["lane_pack"] == 8
+    assert p2.einsum.arg_to_shape["D"] == (280, 280)
+
+
+def test_lane_pack_requires_divisible_length():
+    sp = get_transform_func_from_module_path("mass_v0")
+    e = matvec()
+    tr = sp.bind_args(e, log2_block=10, dofmajor=False, parallel_grid=True,
+                      lane_pack_g=5)
+    prog = tr(f.generate_program(e))
+    with pytest.raises(InvalidParameterError, match="divisible"):
+        f.build_executable(prog, long_dim_length=1000)   # 1000 % 32 != 0
+
+
+def test_lane_pack_packed_output_contract():
+    """The packed output (E/g, g*d) is a reshape of the logical (E, d)
+    row-major output — callers unpack for free."""
+    from feinsum_tpu.measure import (
+        _apply_layouts, _numpy_oracle, generate_input_arrays)
+    import jax
+
+    sp = get_transform_func_from_module_path("mass_v0")
+    e = matvec(8)
+    tr = sp.bind_args(e, log2_block=10, dofmajor=False, parallel_grid=True,
+                      lane_pack_g=4)
+    prog = tr(f.generate_program(e))
+    E = 1024
+    raw = generate_input_arrays(e, long_dim_length=E, as_numpy=True)
+    arrays = {k: jax.device_put(v) for k, v in
+              _apply_layouts(prog, raw).items()}
+    assert arrays["u"].shape == (E // 16, 16 * 8)
+    assert arrays["D"].shape == (8, 8)           # kron happens in-graph
+    fn = f.build_executable(prog, long_dim_length=E)
+    (out,) = fn(arrays)
+    assert out.shape == (E // 16, 16 * 8)
+    ref = _numpy_oracle(e, raw)[0]
+    np.testing.assert_allclose(np.asarray(out).reshape(E, 8), ref,
+                               rtol=2e-5, atol=2e-5 * np.abs(ref).max())
