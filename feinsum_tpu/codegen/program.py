@@ -223,6 +223,8 @@ def _build_executable_cached(program: EinsumProgram, lengths_key: tuple):
             arrays = dict(arrays_by_name)
             for name in kron:
                 a = arrays[name]
+                if a.ndim == 1:     # vecmat variant: x -> kron(I, x[:,None])
+                    a = a.reshape(-1, 1)
                 arrays[name] = jnp.kron(jnp.eye(g, dtype=a.dtype), a)
             return inner(arrays)
 

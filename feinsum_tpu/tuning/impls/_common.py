@@ -325,6 +325,10 @@ def lane_packable(einsum):
     if len(s_idx) != 2 or s_idx[0] != el:
         return None
     j = s_idx[1]
+    if tuple(e.out_idx_set) == (el,) and tuple(r_idx) == (j,):
+        # vecmat variant (ej,j->e): the packed resident becomes
+        # kron(I_g, x[:,None]) (g*d, g) and the output packs to (E/g, g)
+        return (el, None, j, e.args[0][sp].name, e.args[0][rp].name, (j,))
     if len(e.out_idx_set) != 2 or e.out_idx_set[0] != el:
         return None
     i = e.out_idx_set[1]
@@ -354,7 +358,14 @@ def rewrite_lane_pack(program, g: int):
             "lane_pack applies only to matvec-class einsums"
             " (streamed (e,j) x resident (i,j) -> (e,i))")
     el, i, j, s_name, r_name, r_idx = info
-    di = int(e.index_to_dim_length[i])
+    if i is None:
+        # vecmat variant: the group axis becomes the (new) output dof axis
+        i = next(c for c in "abcdefghijklmnopqrstuvwxyz"
+                 if c not in (el, j) and c not in e.arg_to_shape)
+        di = 1
+        r_idx = (j, i)
+    else:
+        di = int(e.index_to_dim_length[i])
     dj = int(e.index_to_dim_length[j])
     if (g * di) % 8 or (g * dj) % 8:
         raise InvalidParameterError(

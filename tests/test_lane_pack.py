@@ -54,9 +54,8 @@ def test_lane_pack_gates_by_class():
          for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
     p = sp.get_param_space(div)["lane_pack_g"]
     assert isinstance(p, IntParameter) and p.high == 0   # gated off
-    vecmat = f.einsum("ej,j->e", f.array("A", ("E", 35), "float32"),
-                      f.array("x", (35,), "float32"))
-    assert lane_packable(vecmat) is None
+    rowsum = f.einsum("ej->e", f.array("A", ("E", 35), "float32"))
+    assert lane_packable(rowsum) is None        # single operand: no resident
     assert lane_packable(matvec()) is not None
     p2 = sp.get_param_space(matvec())["lane_pack_g"]
     assert p2.high == 5
@@ -106,3 +105,21 @@ def test_lane_pack_packed_output_contract():
     ref = _numpy_oracle(e, raw)[0]
     np.testing.assert_allclose(np.asarray(out).reshape(E, 8), ref,
                                rtol=2e-5, atol=2e-5 * np.abs(ref).max())
+
+
+def test_lane_pack_vecmat_variant():
+    """ej,j->e packs too: resident x becomes kron(I_g, x[:,None]) and the
+    output packs to (E/g, g)."""
+    sp = get_transform_func_from_module_path("mass_v0")
+    vm = f.einsum("ej,j->e", f.array("A", ("E", 35), "float32"),
+                  f.array("x", (35,), "float32"))
+    assert lane_packable(vm) is not None
+    assert sp.get_param_space(vm)["lane_pack_g"].high == 5
+    for g, dofmajor in ((3, False), (4, True)):
+        tr = sp.bind_args(vm, log2_block=10, dofmajor=dofmajor,
+                          parallel_grid=True, lane_pack_g=g)
+        f.validate_batched_einsum_transform(vm, tr, long_dim_length=2048)
+    # g must keep the packed output 8-aligned: g=2 -> out dim 2 % 8 != 0
+    prog = f.generate_program(vm)
+    with pytest.raises(InvalidParameterError, match="8-sublane"):
+        rewrite_lane_pack(prog, 2)
