@@ -194,6 +194,17 @@ def candidate_transforms(name, einsum):
     for rank, q in enumerate(distinct[:4]):
         yield (f"archive[{rank}] {q.transform_id}"
                f" ({q.total_giga_op_rate:.0f} GOp/s)"), q.transform
+    if any(a.dtype == "float64" for row in einsum.args for a in row):
+        # first-party double-double kernel (ops/dd_emitter.py): zero HBM
+        # temps vs XLA's ~29 GB f64-emulation decomposition; falls through
+        # to the XLA route if Mosaic rejects it
+        def dd_builtin(program):
+            from feinsum_tpu.tuning import (
+                get_transform_func_from_module_path)
+            sp = get_transform_func_from_module_path("dd_pallas_v0")
+            return sp.bind_args(program.einsum, log2_block=13,
+                                parallel_grid=True)(program)
+        yield "built-in dd_pallas (f32-pair VPU)", dd_builtin
     yield "built-in default", default_transform(einsum)
 
 

@@ -127,6 +127,12 @@ class ScheduleDescriptor:
     lane_pack: int = 1
     lane_pack_args: tuple = ()
     kron_args: tuple = ()
+    # double-double storage contract (pallas backend, f64 einsums): every
+    # f64 operand is stored as a (2, ...) f32 [hi, lo] pair and the kernel
+    # runs error-free-transformation arithmetic on the VPU (no f64 types
+    # reach Mosaic); outputs come back as pairs.  See ops/dd_emitter.py —
+    # the first-party answer to XLA's HBM-thrashing f64 emulation.
+    dd_pairs: bool = False
     # XLA route only: split the long (SizeParam) axis into chunks of this
     # many elements and lax.map the whole schedule over them sequentially.
     # This bounds the *intermediate* footprint — XLA's f64 emulation

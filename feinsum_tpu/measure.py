@@ -120,6 +120,13 @@ def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
     layouts = program.descriptor.arg_layouts_map
     for name, perm in layouts.items():
         out[name] = out[name].transpose(tuple(int(p) for p in perm))
+    if getattr(program.descriptor, "dd_pairs", False):
+        # double-double storage contract: f64 operands stored as (2, ...)
+        # f32 [hi, lo] pairs (ops/dd_emitter.py)
+        from .ops.dd_emitter import split_to_pairs
+        for name, arr in out.items():
+            if np.dtype(arr.dtype) == np.float64:
+                out[name] = split_to_pairs(arr)
     return preblock_arrays(program, fold_arrays(program, out))
 
 # }}}
@@ -280,8 +287,12 @@ def validate_batched_einsum_transform(
     out_layout = program.descriptor.out_layout
     fold = getattr(program.descriptor, "fold_long", 1) or 1
     pre_out = program.descriptor.pre_out_layout
+    dd = getattr(program.descriptor, "dd_pairs", False)
     for r, (got, ref) in enumerate(zip(results, expected)):
         got = np.asarray(got)
+        if dd:
+            # dd-pair outputs: combine (2, ...) f32 [hi, lo] back to f64
+            got = got[0].astype(np.float64) + got[1].astype(np.float64)
         if pre_out is not None:
             # rewritten-program outputs are grouped (e.g. GEMM-natural 2D)
             from .ops.layouts import apply_nested_layout

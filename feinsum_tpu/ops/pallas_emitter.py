@@ -367,6 +367,10 @@ def build_pallas_executable(program, index_to_length: dict):
     desc = program.descriptor
     lengths = dict(index_to_length)
 
+    if getattr(desc, "dd_pairs", False):
+        from .dd_emitter import build_dd_executable
+        return build_dd_executable(program, lengths)
+
     if isinstance(desc.grid_index, tuple):
         return _build_multigrid(program, lengths)
 

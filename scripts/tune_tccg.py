@@ -54,7 +54,7 @@ for swap in (False, True):
 import os
 
 IMPLS = tuple((os.environ.get("TCCG_IMPLS")
-               or "tc_gemm_v0,tc_xla_v0,ttgt_v0").split(","))
+               or "tc_gemm_v0,tc_xla_v0,ttgt_v1").split(","))
 
 if __name__ == "__main__":
     budget = float(sys.argv[1]) if len(sys.argv) > 1 else 120.0

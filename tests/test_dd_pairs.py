@@ -1,0 +1,67 @@
+"""Double-double (f32-pair) fp64 kernels (ops/dd_emitter.py; VERDICT r2
+next #7): mass/matvec/div-family f64 einsums computed entirely in
+error-free-transformation f32 arithmetic, validated at the f64 oracle's
+1e-12 north star."""
+
+import numpy as np
+import pytest
+
+import feinsum_tpu as f
+from feinsum_tpu.diagnostics import InvalidParameterError
+from feinsum_tpu.ops.dd_emitter import dd_add, dd_mul, split_to_pairs
+from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+
+def make_div(ndof, dtype="float64"):
+    return f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(j, ("E", 3), dtype),
+          f.array("R", (3, ndof, ndof), dtype),
+          f.array(u, ("E", ndof), dtype)]
+         for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+
+
+def test_dd_arithmetic_exceeds_f32():
+    rng = np.random.default_rng(0)
+    x = rng.random(1024)
+    y = rng.random(1024)
+    xp, yp = split_to_pairs(x), split_to_pairs(y)
+    ph, pl_ = dd_mul(xp[0], xp[1], yp[0], yp[1])
+    prod = np.asarray(ph, np.float64) + np.asarray(pl_, np.float64)
+    assert np.max(np.abs(prod - x * y) / np.abs(x * y)) < 1e-13
+    sh, sl = dd_add(xp[0], xp[1], yp[0], yp[1])
+    s = np.asarray(sh, np.float64) + np.asarray(sl, np.float64)
+    assert np.max(np.abs(s - (x + y)) / np.abs(x + y)) < 1e-14
+
+
+@pytest.mark.parametrize("subs,arrays", [
+    ("ej,ij->ei", [("u", ("E", 20)), ("D", (20, 20))]),
+    ("e,ij,ej->ei", [("jac", ("E",)), ("M", (20, 20)), ("u", ("E", 20))]),
+])
+def test_dd_families_validate_at_1em12(subs, arrays):
+    e = f.einsum(subs, *[f.array(n, s, "float64") for n, s in arrays])
+    sp = get_transform_func_from_module_path("dd_pallas_v0")
+    tr = sp.bind_args(e, log2_block=10, parallel_grid=True)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=1000)
+
+
+def test_dd_div_batched_and_partial_tail_block():
+    e = make_div(7)
+    sp = get_transform_func_from_module_path("dd_pallas_v0")
+    tr = sp.bind_args(e, log2_block=9, parallel_grid=True)
+    # 1000 % 512 != 0: the cdiv grid's masked tail block must stay exact
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=1000)
+
+
+def test_dd_rejects_f32_and_foreign_shapes():
+    sp = get_transform_func_from_module_path("dd_pallas_v0")
+    e32 = f.einsum("ej,ij->ei", f.array("u", ("E", 8), "float32"),
+                   f.array("D", (8, 8), "float32"))
+    with pytest.raises(InvalidParameterError, match="fp64"):
+        sp.bind_args(e32, log2_block=10)(f.generate_program(e32))
+    face = f.einsum("ifj,fe,fej->ei",
+                    f.array("L", (8, 4, 6), "float64"),
+                    f.array("F", (4, "E"), "float64"),
+                    f.array("flux", (4, "E", 6), "float64"))
+    with pytest.raises(InvalidParameterError):
+        sp.bind_args(face, log2_block=10)(f.generate_program(face))

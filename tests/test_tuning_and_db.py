@@ -427,3 +427,34 @@ def test_dg_spaces_share_full_knob_set():
     tr = sp.bind_args(curl, log2_block=12, dofmajor=True, parallel_grid=True,
                       hoist=False)
     f.validate_batched_einsum_transform(curl, tr, long_dim_length=640)
+
+
+def test_permutation_parameter_and_ttgt_v1():
+    """PermutationParameter: structured tuple values, transposition-swap
+    mutation (VERDICT r2 missing #3); ttgt_v1 searches it directly."""
+    import numpy as np
+    from feinsum_tpu.tuning import (
+        PermutationParameter, get_transform_func_from_module_path)
+    import feinsum_tpu as f
+
+    p = PermutationParameter(4)
+    rng = np.random.default_rng(0)
+    v = p.sample(rng)
+    assert p.contains(v) and sorted(v) == [0, 1, 2, 3]
+    m = p.mutate(v, rng)
+    assert p.contains(m)
+    assert sum(a != b for a, b in zip(v, m)) == 2    # one transposition
+    assert not p.contains((0, 1, 1, 2))
+
+    e = f.get_tccg_benchmark(3, dtype="float32")
+    sp = get_transform_func_from_module_path("ttgt_v1")
+    space = sp.get_param_space(e)
+    assert isinstance(space["layout_a"], PermutationParameter)
+    ra = space["layout_a"].ndim
+    rb = space["layout_b"].ndim
+    ro = space["layout_out"].ndim
+    tr = sp.bind_args(e, layout_a=tuple(range(ra))[::-1],
+                      layout_b=tuple(range(rb)),
+                      layout_out=tuple(range(ro)), precision_idx=1,
+                      natural_out=1)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=24)
