@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-3 TPU work queue. ONE TPU process at a time; each step is its own
+# short process (a wedge loses one step, not the round — CLAUDE.md relay
+# ops guidance). Generous timeouts: SIGTERM mid-compile has wedged the
+# relay before, so budgets are set to never fire on a healthy run.
+# Usage: bash scripts/r3_tpu_queue.sh [start-step]
+set -u
+cd /root/repo
+LOG=/tmp/r3_queue.log
+START=${1:-0}
+step=0
+
+run() {
+    local budget=$1; shift
+    if [ $step -lt $START ]; then
+        echo "=== [$step] SKIP $*" | tee -a $LOG
+        step=$((step+1)); return
+    fi
+    echo "=== [$step] $(date '+%T') $*" | tee -a $LOG
+    timeout "$budget" "$@" >> $LOG 2>&1
+    echo "=== [$step] rc=$? $(date '+%T')" | tee -a $LOG
+    step=$((step+1))
+}
+
+# 0: probe (fast fail if relay is down again)
+run 300 python -c "import jax; print(jax.devices())"
+
+# 1-2: lane_pack sweeps (new knob, VERDICT #3)
+run 2400 python scripts/tune_lane_pack.py matvec 1800
+run 1500 python scripts/tune_lane_pack.py vecmat 1000
+
+# 3-8: small-ndof retune under the consolidated space
+run 1000 python scripts/tune_small_ndof.py div4 600
+run 1000 python scripts/tune_small_ndof.py grad4 600
+run 1000 python scripts/tune_small_ndof.py div10 600
+run 1000 python scripts/tune_small_ndof.py grad10 600
+run 1000 python scripts/tune_small_ndof.py div20 600
+run 1000 python scripts/tune_small_ndof.py grad20 600
+
+# 9: dd fp64 (pure-f32 Mosaic: does NOT poison the compile helpers)
+run 2400 python scripts/tune_dd.py div 1800
+
+# 10: tc_pallas_v0 evidence (VERDICT #4a)
+run 2000 env TCCG_IMPLS=tc_pallas_v0 python scripts/tune_tccg.py 1500
+
+# 11: bench (warms every champion into the persistent compile cache so the
+# driver's capture is fast + green; f64 runs last inside bench itself)
+run 3600 python bench.py
+
+echo "=== QUEUE DONE $(date '+%T')" | tee -a $LOG

@@ -1,0 +1,75 @@
+"""Seeded autotune for the sub-80% small-ndof DG rows (VERDICT r2 next #3)
+under the CONSOLIDATED space — mfold/jfold/prereduce are now searchable on
+every family (they were grad/curl-only before), and the block cap is 2^18.
+One class per process (relay ops guidance).
+
+Usage: python scripts/tune_small_ndof.py [div4|div10|div20|grad4|grad10|
+                                          grad20|matvec|curl] [secs]
+"""
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import feinsum_tpu as f  # noqa: E402
+from feinsum_tpu.tuning import autotune  # noqa: E402
+
+import logging  # noqa: E402
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+
+def mk_div(ndof):
+    return f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(jn, ("E", 3), "float32"),
+          f.array("R", (3, ndof, ndof), "float32"),
+          f.array(un, ("E", ndof), "float32")]
+         for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+
+
+def mk_grad(ndof):
+    return f.einsum("xre,rij,ej->xei",
+                    f.array("J", (3, 3, "E"), "float32"),
+                    f.array("D", (3, ndof, ndof), "float32"),
+                    f.array("u", ("E", ndof), "float32"))
+
+
+CLASSES = {
+    "div4": (mk_div(4), "dg_div_v0"),
+    "div10": (mk_div(10), "dg_div_v0"),
+    "div20": (mk_div(20), "dg_div_v0"),
+    "grad4": (mk_grad(4), "dg_grad_v0"),
+    "grad10": (mk_grad(10), "dg_grad_v0"),
+    "grad20": (mk_grad(20), "dg_grad_v0"),
+    "matvec": (f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                        f.array("D", (20, 20), "float32")), "mass_v0"),
+    "curl": (f.batched_einsum(
+        "e,rij,ej->ei",
+        [[f.array(j, ("E",), "float32"),
+          f.array("D", (3, 35, 35), "float32"),
+          f.array(u, ("E", 35), "float32")]
+         for j, u in [("Jy", "uz"), ("Jz", "ux"), ("Jx", "uy")]]),
+        "curl_3d_v0"),
+}
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "div4"
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
+    einsum, impl = CLASSES[which]
+    # big-block seeds: small-ndof rows are per-grid-step-overhead-bound —
+    # the old 2^16 cap was binding (matvec's optimum sat AT the cap)
+    seeds = [
+        {"log2_block": lb, "blkc128": bc, "dofmajor": True, "fold": True,
+         "preblock": False, "precision_3x": False, "hoist": False,
+         "jfold": jf, "mfold": mf, "prereduce": False, "lane_pack_g": 0,
+         "parallel_grid": True, "vmem_idx": 2, "split_rows": False,
+         "accum_f32": False, "host_hoist": True}
+        for lb, bc in ((17, 0), (18, 0), (16, 0), (0, 20), (0, 24))
+        for jf, mf in ((True, False), (False, True), (False, False))]
+    autotune(einsum, impl, stop_after=budget, long_dim_length=1_000_000,
+             seed_configs=seeds)
+    print("SMALL-NDOF TUNE DONE", flush=True)
