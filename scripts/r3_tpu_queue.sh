@@ -43,8 +43,12 @@ run 2400 python scripts/tune_dd.py div 1800
 # 10: tc_pallas_v0 evidence (VERDICT #4a)
 run 2000 env TCCG_IMPLS=tc_pallas_v0 python scripts/tune_tccg.py 1500
 
-# 11: bench (warms every champion into the persistent compile cache so the
+# 11: re-validate the archive under proto3 (one process per class inside;
+# ends with the untagged-over-reporter retire pass) — VERDICT r2 #2
+run 14000 bash scripts/r3_reevaluate.sh
+
+# 12: bench (warms every champion into the persistent compile cache so the
 # driver's capture is fast + green; f64 runs last inside bench itself)
-run 3600 python bench.py
+run 5400 python bench.py
 
 echo "=== QUEUE DONE $(date '+%T')" | tee -a $LOG
