@@ -551,6 +551,15 @@ def timeit_on_device(fn, arrays: dict) -> float:
         return dt
     floor = _bytes_floor_seconds(fn, arrays) or 0.0
     tr = _timeit_device_trace(fn, arrays)
+    if tr is not None and tr < 5e-4:
+        # sub-500 us spans measure unstably (bench r2: tccg_05 varied
+        # 39.7-100% of roofline across runs — short plain-HLO modules drift
+        # in how much async DMA the span covers).  Re-trace with a longer
+        # steady-state launch train and keep the larger median: spans are
+        # real occupancy, so the larger one is the honest one.
+        tr2 = _timeit_device_trace(fn, arrays, n_iters=200)
+        if tr2 is not None:
+            tr = max(tr, tr2)
     if tr is not None:
         if tr < floor:
             logger.info(

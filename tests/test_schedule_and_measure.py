@@ -168,7 +168,7 @@ def test_timeit_on_device_policy(monkeypatch):
         monkeypatch.setattr(measure, "_timeit_wall_diff",
                             lambda fn, arrays: wall)
         monkeypatch.setattr(measure, "_timeit_device_trace",
-                            lambda fn, arrays: trace)
+                            lambda fn, arrays, **kw: trace)
         monkeypatch.setattr(measure, "_bytes_floor_seconds",
                             lambda fn, arrays: floor)
         monkeypatch.setattr(measure, "_timeit_in_graph",
@@ -231,3 +231,24 @@ def test_profile_program_smoke():
     except Exception as ex:  # noqa: BLE001 — must not raise blindly
         raise AssertionError(f"profile_program raised {type(ex).__name__}")
     assert out is None or out
+
+
+def test_short_span_retraces_and_keeps_larger(monkeypatch):
+    """Sub-500 us spans re-trace with a 200-launch train and keep the larger
+    median (spans are real occupancy: larger = honest) — the tccg_05
+    run-to-run drift fix."""
+    from feinsum_tpu import measure
+
+    calls = []
+
+    def trace(fn, arrays, n_iters=30, **kw):
+        calls.append(n_iters)
+        return 150e-6 if n_iters == 30 else 260e-6
+
+    monkeypatch.setattr(measure, "_timeit_wall_diff",
+                        lambda fn, arrays: None)
+    monkeypatch.setattr(measure, "_timeit_device_trace", trace)
+    monkeypatch.setattr(measure, "_bytes_floor_seconds",
+                        lambda fn, arrays: 100e-6)
+    assert measure.timeit_on_device(None, {}) == 260e-6
+    assert calls == [30, 200]
