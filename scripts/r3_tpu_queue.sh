@@ -10,12 +10,31 @@ LOG=/tmp/r3_queue.log
 START=${1:-0}
 step=0
 
+wait_up() {
+    # relay may wedge mid-queue: block (up to ~6 h) until a bounded probe
+    # succeeds so later steps don't burn their budgets on a dead relay
+    local tries=0
+    while ! timeout 240 python -c "import jax; jax.devices()" \
+            >/dev/null 2>&1; do
+        tries=$((tries+1))
+        echo "    relay down (probe $tries); sleeping 420 s" | tee -a $LOG
+        if [ $tries -ge 50 ]; then
+            echo "    giving up waiting for relay" | tee -a $LOG
+            return 1
+        fi
+        sleep 420
+    done
+    return 0
+}
+
 run() {
     local budget=$1; shift
     if [ $step -lt $START ]; then
         echo "=== [$step] SKIP $*" | tee -a $LOG
         step=$((step+1)); return
     fi
+    wait_up || { echo "=== [$step] SKIPPED (relay down) $*" | tee -a $LOG;
+                 step=$((step+1)); return; }
     echo "=== [$step] $(date '+%T') $*" | tee -a $LOG
     timeout "$budget" "$@" >> $LOG 2>&1
     echo "=== [$step] rc=$? $(date '+%T')" | tee -a $LOG
