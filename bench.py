@@ -108,7 +108,12 @@ def extended_suite():
     """P1-P3 DG sizes, curl — stderr evidence rows (VERDICT r1 #3/8).
     Reference GOp/s from BASELINE.md where it records the size (fp64 TITAN V);
     None where the reference DB has no row."""
+    div1 = f.einsum("es,sij,ej->ei",
+                    f.array("J", ("E", 3), "float32"),
+                    f.array("R", (3, 35, 35), "float32"),
+                    f.array("u", ("E", 35), "float32"))
     return [
+        ("dg_div_single_ndof35", div1, 1918.8),
         ("dg_div_ndof20_P3", make_div(20), 1690.0),
         ("dg_div_ndof10_P2", make_div(10), 962.5),
         ("dg_div_ndof4_P1", make_div(4), 355.9),

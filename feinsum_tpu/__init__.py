@@ -52,6 +52,7 @@ from .einsum import (
     SizeParam,
     SummationAxis,
 )
+from .apply import compile_fn_with_archive
 from .make_einsum import array, batched_einsum, einsum
 from .matching import (
     InsnInfo,
@@ -126,6 +127,7 @@ __all__ = (
     "batched_einsum",
     "build_executable",
     "apply_best_transform",
+    "compile_fn_with_archive",
     "canonical_operand_positions",
     "canonicalize_einsum",
     "visualize",

@@ -1,0 +1,179 @@
+"""
+The end-to-end consumer flow: compile a USER's traced function against the
+transform archive.
+
+The reference applies archived transforms to the user's loopy kernel in
+place (``match_t_unit_to_einsum`` + the impl's transform; its substitution
+rules make this work "for any kernel whose operand is an arbitrary
+expression", codegen/loopy.py:94-95).  Our analog returns a drop-in
+replacement callable: every einsum instruction inside *fn* is matched
+(:mod:`feinsum_tpu.matching`), looked up in the archive, and executed
+through the archived schedule; operand expressions (``2*J + 1``, captured
+constants, ...) are evaluated by slicing the traced jaxpr; instruction
+signs/scalar factors (:attr:`InsnInfo.scale`) and the sum structure are
+re-applied to reconstruct *fn*'s exact outputs.
+
+Storage-contract note: archived schedules declare HBM layouts
+(dof-major / fold / lane_pack...).  ``compile_fn_with_archive`` applies
+them IN-GRAPH to whatever the caller passes, which on TPU costs a
+relayout pass per operand; callers chasing the last 20% should store
+their state in the schedule's layout and use ``build_executable``
+directly (see doc/compiler_writer_tutorial.md).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .diagnostics import EinsumMatchError, NoFactInDatabaseError
+from .matching import (
+    DEFAULT_LONG_DIM_LENGTH,
+    _assemble_matched_einsum,
+    _collect_instructions,
+    _insn_infos,
+)
+
+
+def _backward_slice_eval(jaxpr, consts, args, targets):
+    """Evaluate the jaxpr variables *targets* from *args* by interpreting
+    only the backward slice of equations that feed them."""
+    from jax.extend.core import Literal
+
+    needed = set(targets)
+    keep = []
+    for eqn in reversed(jaxpr.eqns):
+        if any(ov in needed for ov in eqn.outvars):
+            keep.append(eqn)
+            for iv in eqn.invars:
+                if not isinstance(iv, Literal):
+                    needed.add(iv)
+    keep.reverse()
+    env = {}
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+
+    def read(a):
+        return a.val if isinstance(a, Literal) else env[a]
+
+    for eqn in keep:
+        subfuns, bind_params = eqn.primitive.get_bind_params(eqn.params)
+        outs = eqn.primitive.bind(*subfuns,
+                                  *[read(v) for v in eqn.invars],
+                                  **bind_params)
+        if eqn.primitive.multiple_results:
+            for ov, o in zip(eqn.outvars, outs):
+                env[ov] = o
+        else:
+            env[eqn.outvars[0]] = outs
+    return {t: env[t] for t in targets}
+
+
+def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
+                            device=None,
+                            db_path: Optional[str] = None,
+                            long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
+                            arg_names: Optional[Sequence] = None,
+                            validate: bool = False) -> Callable:
+    """Return a callable computing exactly what *fn* computes, with every
+    einsum instruction executed through its best archived schedule (archive
+    misses fall back to the opt_einsum XLA program).
+
+    Raises :class:`EinsumMatchError` when *fn* is outside the matchable
+    grammar or an instruction carries a traced (unknowable) scalar factor.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import sql_utils
+    from .codegen.program import (
+        build_executable,
+        generate_program,
+        generate_program_with_opt_einsum_schedule,
+    )
+    from .measure import _apply_layouts, validate_batched_einsum_transform
+    from .ops.layouts import unpack_output
+
+    closed, labels, sources, _names, out_sums = _collect_instructions(
+        fn, example_args, arg_names=arg_names)
+    infos = _insn_infos(out_sums, sources)
+    insns = [(oi, ti, term)
+             for oi, terms in enumerate(out_sums)
+             for ti, term in enumerate(terms)]
+    # output pytree structure (make_jaxpr flattens; re-trace for the tree)
+    _, out_shape = jax.make_jaxpr(fn, return_shape=True)(*example_args)
+    out_tree = jax.tree_util.tree_structure(out_shape)
+    out_avals = jax.tree_util.tree_leaves(out_shape)
+
+    by_name = {s.name: s for s in sources}
+    plans = []
+    for info, insn in zip(infos, insns):
+        if info.scale is None:
+            raise EinsumMatchError(
+                f"instruction {info.flat_index} carries a traced scalar"
+                f" factor; its value is unknowable at trace time — factor"
+                f" it out or use get_a_matched_einsum/build_executable"
+                f" directly")
+        einsum, name_map = _assemble_matched_einsum(
+            labels, sources, [insn], long_dim_length=long_dim_length)
+        lengths = {}
+        for row in einsum.args:
+            for arg, idx_set in zip(row, einsum.in_idx_sets):
+                for letter, size in zip(idx_set, by_name[arg.name].shape):
+                    lengths[letter] = int(size)
+        try:
+            transform = sql_utils.retrieve(einsum, device, db_path=db_path)
+        except NoFactInDatabaseError:
+            transform = None
+        if transform is not None:
+            if validate:
+                validate_batched_einsum_transform(
+                    einsum, transform,
+                    long_dim_length=min(2048, max(lengths.values())))
+            program = transform(generate_program(einsum))
+        else:
+            program = generate_program_with_opt_einsum_schedule(einsum)
+        exe = build_executable(program, index_to_length=lengths)
+        logical = tuple(lengths[ix] for ix in einsum.out_idx_set)
+        plans.append((info, einsum, program, exe, logical))
+
+    expr_vars = [s.var for s in sources
+                 if not isinstance(s.origin, int)
+                 and not isinstance(s.var, np.ndarray)]
+
+    def fn2(*args):
+        expr_vals = _backward_slice_eval(closed.jaxpr, closed.consts,
+                                         args, expr_vars) if expr_vars \
+            else {}
+        name_to_val = {}
+        for s in sources:
+            if isinstance(s.origin, int):
+                name_to_val[s.name] = args[s.origin]
+            elif isinstance(s.var, np.ndarray):   # array literal
+                name_to_val[s.name] = jnp.asarray(s.var)
+            else:
+                name_to_val[s.name] = expr_vals[s.var]
+        acc = {}
+        for info, einsum, program, exe, logical in plans:
+            arrays = {name: name_to_val[name]
+                      for name in einsum.arg_to_shape}
+            arrays = _apply_layouts(program, arrays)
+            (res,) = exe(arrays)
+            out = unpack_output(program, res, logical)
+            if info.scale != 1.0:
+                out = out * np.asarray(info.scale, out.dtype)
+            k = info.out_index
+            acc[k] = out if k not in acc else acc[k] + out
+        flat = [acc[k].astype(out_avals[k].dtype)
+                for k in range(len(out_avals))]
+        return jax.tree_util.tree_unflatten(out_tree, flat)
+
+    # introspection: (InsnInfo, matched einsum, program) per instruction —
+    # program.descriptor.backend == "pallas" signals an archive hit (the
+    # miss fallback is the opt_einsum XLA program)
+    fn2.plans = tuple((info, einsum, program)
+                      for info, einsum, program, _exe, _lg in plans)
+    return fn2

@@ -117,13 +117,17 @@ class _Opaque:
 class _Source:
     """One einsum operand source: a traced input (``origin`` = its int
     position), or an opaque expression / captured constant (``origin`` =
-    tuple of the input positions feeding it; ``()`` for constants)."""
+    tuple of the input positions feeding it; ``()`` for constants).
+    ``var`` is the producing jaxpr variable for expression sources (None
+    for traced inputs) — :mod:`feinsum_tpu.apply` slices the jaxpr at it
+    to evaluate the operand expression."""
 
     name: str
     shape: tuple
     dtype: np.dtype
     labels: tuple
     origin: Union[int, tuple]
+    var: object = None
 
 
 def _as_terms(val) -> tuple:
@@ -169,11 +173,11 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                           arg_names: Optional[Sequence] = None) -> tuple:
     """Trace *fn* and walk its jaxpr under the (extended) einsum grammar.
 
-    Returns ``(labels, sources, arg_names, out_sums)`` where ``sources`` is
-    the operand-source table (traced inputs first, then opaque expression
-    operands — see :class:`_Source`) and ``out_sums[k]`` is the tuple of
-    einsum instructions (:class:`_Term`) whose sum the k-th traced output
-    computes (a single-term tuple for a plain einsum output).
+    Returns ``(closed_jaxpr, labels, sources, arg_names, out_sums)`` where
+    ``sources`` is the operand-source table (traced inputs first, then
+    opaque expression operands — see :class:`_Source`) and ``out_sums[k]``
+    is the tuple of einsum instructions (:class:`_Term`) whose sum the k-th
+    traced output computes (a single-term tuple for a plain einsum output).
     """
     from jax.extend.core import Literal
 
@@ -198,10 +202,10 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
     sources: list = []
     taken = set(arg_names)
 
-    def add_source(name: str, shape, dtype, origin) -> int:
+    def add_source(name: str, shape, dtype, origin, var=None) -> int:
         axis_labels = tuple(labels.fresh() for _ in shape)
         sources.append(_Source(name, tuple(int(s) for s in shape),
-                               np.dtype(dtype), axis_labels, origin))
+                               np.dtype(dtype), axis_labels, origin, var))
         return len(sources) - 1
 
     def fresh_expr_name() -> str:
@@ -248,7 +252,8 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
         ONE operand."""
         if isinstance(atom, Literal):
             arr = np.asarray(atom.val)
-            idx = add_source(fresh_expr_name(), arr.shape, arr.dtype, ())
+            idx = add_source(fresh_expr_name(), arr.shape, arr.dtype, (),
+                             arr)
             return _Term(sources[idx].labels,
                          [(idx, sources[idx].labels)], ())
         val = env[atom]
@@ -257,7 +262,8 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
         if atom in expr_memo:
             return expr_memo[atom]
         idx = add_source(fresh_expr_name(), atom.aval.shape,
-                         atom.aval.dtype, tuple(sorted(deps_of(val))))
+                         atom.aval.dtype, tuple(sorted(deps_of(val))),
+                         atom)
         t = _Term(sources[idx].labels, [(idx, sources[idx].labels)], ())
         expr_memo[atom] = t
         return t
@@ -443,7 +449,7 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                 f" structure to match)"
                 + (f": {val.reason}" if val.reason else ""))
         out_sums.append(_as_terms(val))
-    return labels, sources, arg_names, out_sums
+    return closed, labels, sources, arg_names, out_sums
 
 
 def _insn_infos(out_sums, sources) -> list:
@@ -616,7 +622,7 @@ def get_a_matched_einsum(
     ``(out_index, term_index)`` pair, or a predicate over :class:`InsnInfo`.
     Multiple selected instructions must form batch rows of one einsum.
     """
-    labels, sources, _names, out_sums = (
+    _closed, labels, sources, _names, out_sums = (
         _collect_instructions(fn, example_args, arg_names=arg_names))
     selected = _select_instructions(out_sums, sources, insn_match)
     return _assemble_matched_einsum(labels, sources, selected,
@@ -637,7 +643,7 @@ def get_matched_einsums(
     its instruction WITHOUT the instruction's sign/scalar factor — re-apply
     :attr:`InsnInfo.scale` (``None`` = a traced scalar factor, unknowable
     here) before summing matched einsums back into *fn*'s value."""
-    labels, sources, _names, out_sums = _collect_instructions(
+    _closed, labels, sources, _names, out_sums = _collect_instructions(
         fn, example_args, arg_names=arg_names)
     infos = _insn_infos(out_sums, sources)
     insns = [(oi, ti, term)

@@ -282,3 +282,52 @@ def fold_arrays(program, arrays: dict) -> dict:
     return out
 
 # }}}
+
+
+def unpack_output(program, arr, logical_shape):
+    """Invert the descriptor's output storage contract: stored row output
+    ``arr`` -> the logical einsum output of shape *logical_shape*.
+
+    The forward chain (see measure.validate_batched_einsum_transform) is
+    pre_out_layout -> lane_pack -> out_layout -> fold_long -> dd pairs;
+    this applies the inverses in reverse order.  Works on numpy and jax
+    arrays (reshapes/transposes only — on device they lower to XLA
+    relayouts)."""
+    desc = program.descriptor
+    xp = __import__("numpy") if type(arr).__module__.startswith("numpy") \
+        else __import__("jax.numpy", fromlist=["numpy"])
+    if getattr(desc, "dd_pairs", False):
+        arr = arr[0].astype("float64") + arr[1].astype("float64")
+    fold = getattr(desc, "fold_long", 1) or 1
+    lane_g = getattr(desc, "lane_pack", 1) or 1
+    # how many axes the stored (post-contract, pre-fold) output has
+    n_stored = len(logical_shape)
+    if desc.pre_out_layout is not None:
+        n_stored = len(desc.pre_out_layout)
+    elif lane_g > 1:
+        n_stored = 2
+    if fold > 1 and arr.ndim == n_stored + 1:
+        arr = xp.reshape(arr, arr.shape[:-2] + (-1,))
+    if desc.out_layout is not None:
+        import numpy as np
+        inv = np.argsort(desc.out_layout)
+        arr = xp.transpose(arr, tuple(int(i) for i in inv))
+    if lane_g > 1:
+        arr = xp.reshape(arr, (arr.shape[0] * lane_g, -1))
+        if arr.shape[-1] == 1 and len(logical_shape) == 1:
+            arr = xp.reshape(arr, (-1,))
+    if desc.pre_out_layout is not None:
+        import numpy as np
+        nested = desc.pre_out_layout
+        flat = [int(p) for g_ in nested for p in g_]
+        split = []
+        for g_ in nested:
+            split.extend(int(logical_shape[p]) for p in g_)
+        arr = xp.reshape(arr, tuple(split))
+        arr = xp.transpose(arr, tuple(int(i)
+                                      for i in np.argsort(flat)))
+    if tuple(arr.shape) != tuple(logical_shape):
+        raise ValueError(
+            f"unpack_output: inverted stored shape {tuple(arr.shape)} does"
+            f" not match the logical output {tuple(logical_shape)}")
+    return arr

@@ -48,7 +48,9 @@ run 300 python -c "import jax; print(jax.devices())"
 run 2400 python scripts/tune_lane_pack.py matvec 1800
 run 1500 python scripts/tune_lane_pack.py vecmat 1000
 
-# 3-8: small-ndof retune under the consolidated space
+# 3-8: small-ndof retune under the consolidated space (+ the uncovered
+# single-output div class)
+run 1000 python scripts/tune_small_ndof.py div_single 600
 run 1000 python scripts/tune_small_ndof.py div4 600
 run 1000 python scripts/tune_small_ndof.py grad4 600
 run 1000 python scripts/tune_small_ndof.py div10 600

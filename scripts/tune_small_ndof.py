@@ -37,7 +37,17 @@ def mk_grad(ndof):
                     f.array("u", ("E", ndof), "float32"))
 
 
+def mk_div_single(ndof):
+    return f.einsum("es,sij,ej->ei",
+                    f.array("J", ("E", 3), "float32"),
+                    f.array("R", (3, ndof, ndof), "float32"),
+                    f.array("u", ("E", ndof), "float32"))
+
+
 CLASSES = {
+    # single-output div: its own canonical class (BASELINE row 1918.8; a
+    # user matching ONE einsum misses the b=3 batched facts)
+    "div_single": (mk_div_single(35), "dg_div_v0"),
     "div4": (mk_div(4), "dg_div_v0"),
     "div10": (mk_div(10), "dg_div_v0"),
     "div20": (mk_div(20), "dg_div_v0"),

@@ -1,0 +1,97 @@
+"""compile_fn_with_archive: the end-to-end consumer flow — a user's traced
+function runs with every einsum instruction executed through its archived
+schedule (the reference applies transforms to the user's kernel in place;
+codegen/loopy.py:94-95's substitution rules are what our operand-expression
+evaluation mirrors)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import feinsum_tpu as f
+from feinsum_tpu.diagnostics import EinsumMatchError
+
+
+def _data(E=1024, ndof=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "J": jnp.asarray(rng.random((E, 3), np.float32)),
+        "D": jnp.asarray(rng.random((3, ndof, ndof), np.float32)),
+        "u": jnp.asarray(rng.random((E, ndof), np.float32)),
+        "L": jnp.asarray(rng.random((ndof, 4, 6), np.float32)),
+        "F": jnp.asarray(rng.random((4, E), np.float32)),
+        "flux": jnp.asarray(rng.random((4, E, 6), np.float32)),
+    }
+
+
+def _close(got, ref, tol=2e-5):
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=tol, atol=tol * scale)
+
+
+def test_sum_of_einsums_with_scales():
+    d = _data()
+
+    def user_rhs(J, D, u, L, F, flux):
+        vol = jnp.einsum("es,sij,ej->ei", J, D, u)
+        surf = jnp.einsum("ifj,fe,fej->ei", L, F, flux)
+        return 2.0 * vol - surf
+
+    args = [d["J"], d["D"], d["u"], d["L"], d["F"], d["flux"]]
+    fn2 = f.compile_fn_with_archive(user_rhs, args)
+    _close(fn2(*args), user_rhs(*args))
+
+
+def test_expression_operand_and_captured_const():
+    d = _data()
+    M = jnp.asarray(np.random.default_rng(1).random((8, 8), np.float32))
+
+    def user(J, u):
+        return jnp.einsum("e,ej,ij->ei", 2.0 * J[:, 0] + 1.0, u, M)
+
+    fn2 = f.compile_fn_with_archive(user, [d["J"], d["u"]])
+    _close(fn2(d["J"], d["u"]), user(d["J"], d["u"]))
+
+
+def test_tuple_outputs_and_nonlinear_operand():
+    d = _data()
+
+    def pair(J, D, u):
+        a = jnp.einsum("es,sij,ej->ei", J, D, u)
+        return a, -jnp.einsum("ei,ej->ij", jnp.exp(u), u)
+
+    args = [d["J"], d["D"], d["u"]]
+    fn2 = f.compile_fn_with_archive(pair, args)
+    g1, g2 = fn2(*args)
+    r1, r2 = pair(*args)
+    _close(g1, r1)
+    _close(g2, r2, tol=2e-4)
+
+
+def test_archive_hit_replays_tuned_schedule():
+    """With the shipped archive's device, the matvec instruction must
+    resolve to an archived pallas schedule (not the opt_einsum fallback)
+    and still reproduce fn exactly (interpret-mode pallas on CPU)."""
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.random((2048, 20), np.float32))
+    M = jnp.asarray(rng.random((20, 20), np.float32))
+
+    def user(my_dofs, my_op):
+        return jnp.einsum("nq,dq->nd", my_dofs, my_op)
+
+    fn2 = f.compile_fn_with_archive(
+        user, [u, M], device=f.FakeDevice("TPU v5 lite"),
+        long_dim_length=500)
+    assert fn2.plans[0][2].descriptor.backend == "pallas"   # archive hit
+    _close(fn2(u, M), user(u, M))
+
+
+def test_traced_scalar_factor_rejected():
+    d = _data()
+
+    def user(u, alpha):
+        return alpha * jnp.einsum("ej,ej->e", u, u)
+
+    with pytest.raises(EinsumMatchError, match="scalar factor"):
+        f.compile_fn_with_archive(user, [d["u"], jnp.float32(2.0)])
