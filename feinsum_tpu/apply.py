@@ -109,21 +109,17 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     out_avals = jax.tree_util.tree_leaves(out_shape)
 
     by_name = {s.name: s for s in sources}
-    plans = []
-    for info, insn in zip(infos, insns):
-        if info.scale is None:
-            raise EinsumMatchError(
-                f"instruction {info.flat_index} carries a traced scalar"
-                f" factor; its value is unknowable at trace time — factor"
-                f" it out or use get_a_matched_einsum/build_executable"
-                f" directly")
-        einsum, name_map = _assemble_matched_einsum(
-            labels, sources, [insn], long_dim_length=long_dim_length)
+
+    def concrete_lengths(einsum):
         lengths = {}
         for row in einsum.args:
             for arg, idx_set in zip(row, einsum.in_idx_sets):
                 for letter, size in zip(idx_set, by_name[arg.name].shape):
                     lengths[letter] = int(size)
+        return lengths
+
+    def make_plan(row_infos, einsum):
+        lengths = concrete_lengths(einsum)
         try:
             transform = sql_utils.retrieve(einsum, device, db_path=db_path)
         except NoFactInDatabaseError:
@@ -138,7 +134,49 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
             program = generate_program_with_opt_einsum_schedule(einsum)
         exe = build_executable(program, index_to_length=lengths)
         logical = tuple(lengths[ix] for ix in einsum.out_idx_set)
-        plans.append((info, einsum, program, exe, logical))
+        return (tuple(row_infos), einsum, program, exe, logical)
+
+    # per-instruction assembly (read-only on the shared union-find)
+    indiv = []
+    for info, insn in zip(infos, insns):
+        if info.scale is None:
+            raise EinsumMatchError(
+                f"instruction {info.flat_index} carries a traced scalar"
+                f" factor; its value is unknowable at trace time — factor"
+                f" it out or use get_a_matched_einsum/build_executable"
+                f" directly")
+        einsum, _nm = _assemble_matched_einsum(
+            labels, sources, [insn], long_dim_length=long_dim_length)
+        indiv.append((info, insn, einsum))
+
+    # group structurally-identical instructions into BATCHED einsums (a
+    # user's componentwise div/curl code then hits the archive's b-row
+    # champions, which share operand DMA in one kernel); trial assembly on
+    # a COPY of the union-find so a failed unification cannot corrupt state
+    def sig(einsum):
+        return (einsum.get_subscripts(),
+                tuple(str(a.shape) + a.dtype.name
+                      for row in einsum.args for a in row))
+
+    groups: dict = {}
+    for item in indiv:
+        groups.setdefault(sig(item[2]), []).append(item)
+
+    plans = []
+    for items in groups.values():
+        if len(items) > 1:
+            trial = labels.copy()
+            try:
+                be, _nm = _assemble_matched_einsum(
+                    trial, sources, [insn for _i, insn, _e in items],
+                    long_dim_length=long_dim_length)
+            except EinsumMatchError:
+                be = None
+            if be is not None:
+                plans.append(make_plan([i for i, _s, _e in items], be))
+                continue
+        for info, _insn, einsum in items:
+            plans.append(make_plan([info], einsum))
 
     expr_vars = [s.var for s in sources
                  if not isinstance(s.origin, int)
@@ -157,23 +195,25 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
             else:
                 name_to_val[s.name] = expr_vals[s.var]
         acc = {}
-        for info, einsum, program, exe, logical in plans:
+        for row_infos, einsum, program, exe, logical in plans:
             arrays = {name: name_to_val[name]
                       for name in einsum.arg_to_shape}
             arrays = _apply_layouts(program, arrays)
-            (res,) = exe(arrays)
-            out = unpack_output(program, res, logical)
-            if info.scale != 1.0:
-                out = out * np.asarray(info.scale, out.dtype)
-            k = info.out_index
-            acc[k] = out if k not in acc else acc[k] + out
+            results = exe(arrays)
+            for info, res in zip(row_infos, results):
+                out = unpack_output(program, res, logical)
+                if info.scale != 1.0:
+                    out = out * np.asarray(info.scale, out.dtype)
+                k = info.out_index
+                acc[k] = out if k not in acc else acc[k] + out
         flat = [acc[k].astype(out_avals[k].dtype)
                 for k in range(len(out_avals))]
         return jax.tree_util.tree_unflatten(out_tree, flat)
 
-    # introspection: (InsnInfo, matched einsum, program) per instruction —
+    # introspection: (row InsnInfos, matched einsum, program) per plan —
     # program.descriptor.backend == "pallas" signals an archive hit (the
-    # miss fallback is the opt_einsum XLA program)
-    fn2.plans = tuple((info, einsum, program)
-                      for info, einsum, program, _exe, _lg in plans)
+    # miss fallback is the opt_einsum XLA program); a plan with several
+    # InsnInfos batched those instructions into one b-row kernel
+    fn2.plans = tuple((row_infos, einsum, program)
+                      for row_infos, einsum, program, _exe, _lg in plans)
     return fn2

@@ -79,6 +79,11 @@ class _Labels:
         if a != b:
             self.parent[max(a, b)] = min(a, b)
 
+    def copy(self) -> "_Labels":
+        out = _Labels()
+        out.parent = list(self.parent)
+        return out
+
 
 class _Term:
     """A labeled tensor value in the dataflow: which operand uses it reaches

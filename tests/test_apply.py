@@ -95,3 +95,41 @@ def test_traced_scalar_factor_rejected():
 
     with pytest.raises(EinsumMatchError, match="scalar factor"):
         f.compile_fn_with_archive(user, [d["u"], jnp.float32(2.0)])
+
+
+def test_componentwise_div_groups_into_batched_archive_hit():
+    """A user writing div componentwise (3 separate jnp.einsum calls, summed
+    into one output) must group into ONE b=3 batched plan and hit the
+    shipped archive's batched-div champion."""
+    rng = np.random.default_rng(3)
+    E = 2048
+    Js = [jnp.asarray(rng.random((E, 3), np.float32)) for _ in range(3)]
+    R = jnp.asarray(rng.random((3, 35, 35), np.float32))
+    us = [jnp.asarray(rng.random((E, 35), np.float32)) for _ in range(3)]
+
+    def user(Jx, Jy, Jz, R, ux, uy, uz):
+        return (jnp.einsum("es,sij,ej->ei", Jx, R, ux)
+                + jnp.einsum("es,sij,ej->ei", Jy, R, uy)
+                - jnp.einsum("es,sij,ej->ei", Jz, R, uz))
+
+    args = [Js[0], Js[1], Js[2], R, us[0], us[1], us[2]]
+    fn2 = f.compile_fn_with_archive(
+        user, args, device=f.FakeDevice("TPU v5 lite"), long_dim_length=500)
+    assert len(fn2.plans) == 1
+    row_infos, einsum, program = fn2.plans[0]
+    assert len(row_infos) == 3 and einsum.b == 3
+    assert program.descriptor.backend == "pallas"    # batched archive hit
+    assert [i.scale for i in row_infos] == [1.0, 1.0, -1.0]
+    _close(fn2(*args), user(*args))
+
+
+def test_compiled_fn_is_jittable():
+    import jax
+    d = _data()
+
+    def user(J, D, u):
+        return jnp.einsum("es,sij,ej->ei", J, D, u)
+
+    args = [d["J"], d["D"], d["u"]]
+    fn2 = f.compile_fn_with_archive(user, args)
+    _close(jax.jit(fn2)(*args), user(*args))
