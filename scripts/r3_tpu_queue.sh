@@ -61,8 +61,9 @@ run 1000 python scripts/tune_small_ndof.py grad20 600
 # 9: dd fp64 (pure-f32 Mosaic: does NOT poison the compile helpers)
 run 2400 python scripts/tune_dd.py div 1800
 
-# 10: tc_pallas_v0 evidence (VERDICT #4a)
-run 2000 env TCCG_IMPLS=tc_pallas_v0 python scripts/tune_tccg.py 1500
+# 10: tc_pallas_v0 evidence (VERDICT #4a) — enumerated, not random: the
+# guarded space has only 0-8 valid points per benchmark
+run 2000 python scripts/tune_tc_pallas.py 1500
 
 # 11: re-validate the archive under proto3 (one process per class inside;
 # ends with the untagged-over-reporter retire pass) — VERDICT r2 #2
