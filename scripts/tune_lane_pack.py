@@ -52,29 +52,37 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "matvec"
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
     t0 = time.time()
+
+    def blocks_for(gd):
+        # VMEM viability (matches guard_vmem's ~15 KB/element at gd=640):
+        # ~24 * blk * gd bytes of double-buffered blocks; stay under 80 MB
+        cap = (80 << 20) // (24 * gd)
+        out = []
+        for lb, bc in ((13, 0), (14, 0), (0, 4), (0, 8), (0, 6),
+                       (15, 0), (12, 0), (11, 0)):
+            blk = 1024 * bc if bc else 2 ** lb
+            if blk <= cap:
+                out.append((lb, bc))
+        return out[:4]
+
     if which == "matvec":
-        e = f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
-                     f.array("D", (20, 20), "float32"))
-        # g=2^v: v in 2..5 (g*d: 80..640); dofmajor on/off; a few blocks
-        pts = []
-        for v in (3, 4, 5, 2):
-            for dm in (True, False):
-                for lb, bc in ((15, 0), (13, 0), (0, 4), (0, 8)):
-                    pts.append((f"matvec g=2^{v} dm={dm} b{lb}/c{bc}",
-                                base(lb or 8, bc, lane_pack_g=v,
-                                     dofmajor=dm)))
+        d = 20
+        e = f.einsum("ej,ij->ei", f.array("u", ("E", d), "float32"),
+                     f.array("D", (d, d), "float32"))
+        vs = (3, 4, 5, 2)            # g = 2^v; g*d: 160..640, 80
     elif which == "vecmat":
-        e = f.einsum("ej,j->e", f.array("A", ("E", 35), "float32"),
-                     f.array("x", (35,), "float32"))
-        pts = []
-        for v in (3, 4, 5):          # g%8==0 needs v>=3 (out dim = g)
-            for dm in (True, False):
-                for lb, bc in ((15, 0), (13, 0), (0, 4)):
-                    pts.append((f"vecmat g=2^{v} dm={dm} b{lb}/c{bc}",
-                                base(lb or 8, bc, lane_pack_g=v,
-                                     dofmajor=dm)))
+        d = 35
+        e = f.einsum("ej,j->e", f.array("A", ("E", d), "float32"),
+                     f.array("x", (d,), "float32"))
+        vs = (3, 4, 5)               # g%8==0 needs v>=3 (out dim = g)
     else:
         raise SystemExit(f"unknown class {which}")
+    pts = []
+    for v in vs:
+        for dm in (True, False):
+            for lb, bc in blocks_for((2 ** v) * d):
+                pts.append((f"{which} g=2^{v} dm={dm} b{lb}/c{bc}",
+                            base(lb or 8, bc, lane_pack_g=v, dofmajor=dm)))
     for label, params in pts:
         if time.time() - t0 > budget:
             print("budget exhausted", flush=True)
