@@ -169,16 +169,18 @@ InsnMatchT = Union[int, tuple, Callable[[InsnInfo], bool], None]
 
 
 def _trace(fn: Callable, example_args) -> tuple:
+    """(closed_jaxpr, out_shape_pytree) — one trace serves both the grammar
+    walk and output-structure reconstruction (feinsum_tpu.apply)."""
     import jax
-    jaxpr = jax.make_jaxpr(fn)(*example_args)
-    return jaxpr
+    return jax.make_jaxpr(fn, return_shape=True)(*example_args)
 
 
 def _collect_instructions(fn: Callable, example_args: Sequence, *,
                           arg_names: Optional[Sequence] = None) -> tuple:
     """Trace *fn* and walk its jaxpr under the (extended) einsum grammar.
 
-    Returns ``(closed_jaxpr, labels, sources, arg_names, out_sums)`` where
+    Returns ``((closed_jaxpr, out_shape), labels, sources, arg_names,
+    out_sums)`` where
     ``sources`` is the operand-source table (traced inputs first, then
     opaque expression operands — see :class:`_Source`) and ``out_sums[k]``
     is the tuple of einsum instructions (:class:`_Term`) whose sum the k-th
@@ -199,7 +201,7 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
             f"arg{i}" for i in range(len(arg_names), len(example_args))]
     arg_names = list(arg_names)
 
-    closed = _trace(fn, example_args)
+    closed, out_shape = _trace(fn, example_args)
     jaxpr = closed.jaxpr
 
     labels = _Labels()
@@ -350,11 +352,25 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
 
             sides = [rank0(v) for v in eqn.invars]
             if any(sides):
-                if prim == "div" and sides[0] and not sides[1]:
-                    mark_opaque(eqn)      # scalar / tensor: not a scaling
+                if prim == "div" and sides[0]:
+                    # scalar / tensor is not a scaling; scalar / scalar is
+                    # scalar arithmetic — both leave the grammar
+                    mark_opaque(eqn)
                     continue
-                s_atom = eqn.invars[sides.index(True)]
-                other = eqn.invars[1 - sides.index(True)]
+                # prefer the LITERAL side as the scalar factor so the other
+                # side stays readable (alpha * 2.0: picking alpha would make
+                # read() reject the literal); div's factor must be invar[1]
+                lit = [is_scalar_literal(v) and s for v, s
+                       in zip(eqn.invars, sides)]
+                pick = (lit.index(True) if any(lit) and prim != "div"
+                        else sides.index(True))
+                s_atom = eqn.invars[pick]
+                other = eqn.invars[1 - pick]
+                if isinstance(other, Literal):
+                    # scalar-constant arithmetic (2.0 * 3.0-ish folds):
+                    # outside the grammar, but usable as an expression
+                    mark_opaque(eqn, reason="scalar constant arithmetic")
+                    continue
                 if is_scalar_literal(s_atom):
                     v = s_atom.val
                     factor = (1.0 / v) if prim == "div" else v
@@ -387,9 +403,19 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                 set(a.contracted) | set(b.contracted),
                 _mul_scale(a.scale, b.scale))
         elif prim in ("add", "sub"):
-            if any(is_scalar_literal(v) for v in eqn.invars) or any(
-                    not isinstance(v, Literal)
-                    and len(v.aval.shape) == 0 for v in eqn.invars):
+            def is_scalar_offset(v):
+                # a rank-0 addend that is NOT itself a grammar value (a
+                # literal, or an opaque scalar expression) is an offset;
+                # rank-0 einsum TERMS (dot products, norms) are legitimate
+                # addends and flow through the normal sum handling
+                if is_scalar_literal(v):
+                    return True
+                if isinstance(v, Literal):
+                    return False
+                return (len(v.aval.shape) == 0
+                        and isinstance(env.get(v), _Opaque))
+
+            if any(is_scalar_offset(v) for v in eqn.invars):
                 # a scalar offset is not an einsum sum — but the offset-ed
                 # value may still feed a product as an operand expression
                 mark_opaque(eqn, reason=(
@@ -454,7 +480,7 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                 f" structure to match)"
                 + (f": {val.reason}" if val.reason else ""))
         out_sums.append(_as_terms(val))
-    return closed, labels, sources, arg_names, out_sums
+    return (closed, out_shape), labels, sources, arg_names, out_sums
 
 
 def _insn_infos(out_sums, sources) -> list:
@@ -627,7 +653,7 @@ def get_a_matched_einsum(
     ``(out_index, term_index)`` pair, or a predicate over :class:`InsnInfo`.
     Multiple selected instructions must form batch rows of one einsum.
     """
-    _closed, labels, sources, _names, out_sums = (
+    _traced, labels, sources, _names, out_sums = (
         _collect_instructions(fn, example_args, arg_names=arg_names))
     selected = _select_instructions(out_sums, sources, insn_match)
     return _assemble_matched_einsum(labels, sources, selected,
@@ -648,7 +674,7 @@ def get_matched_einsums(
     its instruction WITHOUT the instruction's sign/scalar factor — re-apply
     :attr:`InsnInfo.scale` (``None`` = a traced scalar factor, unknowable
     here) before summing matched einsums back into *fn*'s value."""
-    _closed, labels, sources, _names, out_sums = _collect_instructions(
+    _traced, labels, sources, _names, out_sums = _collect_instructions(
         fn, example_args, arg_names=arg_names)
     infos = _insn_infos(out_sums, sources)
     insns = [(oi, ti, term)

@@ -293,9 +293,13 @@ def unpack_output(program, arr, logical_shape):
     this applies the inverses in reverse order.  Works on numpy and jax
     arrays (reshapes/transposes only — on device they lower to XLA
     relayouts)."""
+    import numpy as np
+
     desc = program.descriptor
-    xp = __import__("numpy") if type(arr).__module__.startswith("numpy") \
-        else __import__("jax.numpy", fromlist=["numpy"])
+    if isinstance(arr, np.ndarray):
+        xp = np
+    else:
+        import jax.numpy as xp
     if getattr(desc, "dd_pairs", False):
         arr = arr[0].astype("float64") + arr[1].astype("float64")
     fold = getattr(desc, "fold_long", 1) or 1
@@ -309,7 +313,6 @@ def unpack_output(program, arr, logical_shape):
     if fold > 1 and arr.ndim == n_stored + 1:
         arr = xp.reshape(arr, arr.shape[:-2] + (-1,))
     if desc.out_layout is not None:
-        import numpy as np
         inv = np.argsort(desc.out_layout)
         arr = xp.transpose(arr, tuple(int(i) for i in inv))
     if lane_g > 1:
@@ -317,7 +320,6 @@ def unpack_output(program, arr, logical_shape):
         if arr.shape[-1] == 1 and len(logical_shape) == 1:
             arr = xp.reshape(arr, (-1,))
     if desc.pre_out_layout is not None:
-        import numpy as np
         nested = desc.pre_out_layout
         flat = [int(p) for g_ in nested for p in g_]
         split = []

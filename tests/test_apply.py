@@ -133,3 +133,48 @@ def test_compiled_fn_is_jittable():
     args = [d["J"], d["D"], d["u"]]
     fn2 = f.compile_fn_with_archive(user, args)
     _close(jax.jit(fn2)(*args), user(*args))
+
+
+def test_einsum_rewriting_champion_replays(tmp_path):
+    """Regression (r3 review #1/#2): an archived champion that REWRITES the
+    einsum (lane_pack) must build with the rewritten dims, deliver the
+    logical output, and fall through the ladder when its divisibility
+    constraints don't fit the call's sizes."""
+    from feinsum_tpu import sql_utils
+
+    db = str(tmp_path / "scratch.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                 f.array("D", (20, 20), "float32"))
+    params = {"log2_block": 10, "blkc128": 0, "dofmajor": True,
+              "fold": False, "preblock": False, "precision_3x": False,
+              "hoist": False, "jfold": False, "mfold": False,
+              "prereduce": False, "lane_pack_g": 4, "parallel_grid": True,
+              "vmem_idx": 2, "split_rows": False, "accum_f32": False,
+              "host_hoist": True}
+    sql_utils.record_facts(e, transform_id="mass_v0.py",
+                           transform_params=params, runtime_in_sec=1e-4,
+                           device=f.FakeDevice("TPU v5 lite"), db_path=db,
+                           long_dim_length=2048)
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random((2048, 20), np.float32))
+    M = jnp.asarray(rng.random((20, 20), np.float32))
+
+    def user(dofs, op):
+        return jnp.einsum("nq,dq->nd", dofs, op)
+
+    fn2 = f.compile_fn_with_archive(user, [u, M], db_path=db,
+                                    device=f.FakeDevice("TPU v5 lite"),
+                                    long_dim_length=500)
+    prog = fn2.plans[0][2]
+    assert prog.descriptor.lane_pack == 16           # the packed champion
+    _close(fn2(u, M), user(u, M))
+
+    # E=1000 breaks g=16 divisibility: ladder falls to the opt_einsum
+    # program instead of crashing
+    u2 = jnp.asarray(rng.random((1000, 20), np.float32))
+    fn3 = f.compile_fn_with_archive(user, [u2, M], db_path=db,
+                                    device=f.FakeDevice("TPU v5 lite"),
+                                    long_dim_length=500)
+    assert fn3.plans[0][2].descriptor.lane_pack == 1
+    _close(fn3(u2, M), user(u2, M))

@@ -308,3 +308,34 @@ def test_match_curl_component_difference():
     # the name maps land on the right operands per term
     assert {"Jy", "D", "Fz"} <= set(m0)
     assert {"Jz", "D", "Fy"} <= set(m1)
+
+
+def test_scalar_einsum_sums_still_match():
+    """Regression (r3 review #3): sums of rank-0 einsum terms are
+    legitimate instructions, not scalar offsets."""
+    from feinsum_tpu.matching import get_matched_einsums
+
+    def fn(u, v):
+        return (jnp.einsum("ej,ej->", u, u)
+                + jnp.einsum("ej,ej->", u, v))
+
+    insns = get_matched_einsums(
+        fn, [jnp.ones((600, 8), jnp.float32)] * 2)
+    assert len(insns) == 2
+    assert all(e.out_idx_set == () for e, _nm, _i in insns)
+
+
+def test_scalar_literal_times_traced_scalar_orders():
+    """Regression (r3 review #4): (alpha * 2.0) and (2.0 * alpha) factors
+    behave identically — scale becomes None (unknowable), no literal
+    rejection."""
+    from feinsum_tpu.matching import get_matched_einsums
+
+    for expr in (lambda a: a * 2.0, lambda a: 2.0 * a):
+        def fn(u, D, alpha, _e=expr):
+            return _e(alpha) * jnp.einsum("ej,ij->ei", u, D)
+
+        insns = get_matched_einsums(
+            fn, [jnp.ones((600, 8), jnp.float32),
+                 jnp.ones((8, 8), jnp.float32), jnp.float32(3.0)])
+        assert insns[0][2].scale is None
