@@ -244,8 +244,18 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                       for name in einsum.arg_to_shape}
             arrays = _apply_layouts(program, arrays)
             results = exe(arrays)
+            rc = getattr(program.descriptor, "rowcat", 1) or 1
+            if rc > 1:
+                # rowcat champion: ONE concatenated output; slice the rows
+                cat = unpack_output(program, results[0],
+                                    (logical[0] * rc,) + logical[1:])
+                results = [cat[r * logical[0]:(r + 1) * logical[0]]
+                           for r in range(rc)]
+                unpack = False
+            else:
+                unpack = True
             for info, res in zip(row_infos, results):
-                out = unpack_output(program, res, logical)
+                out = unpack_output(program, res, logical) if unpack else res
                 if info.scale != 1.0:
                     out = out * np.asarray(info.scale, out.dtype)
                 k = info.out_index

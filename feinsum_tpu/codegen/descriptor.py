@@ -127,6 +127,17 @@ class ScheduleDescriptor:
     lane_pack: int = 1
     lane_pack_args: tuple = ()
     kron_args: tuple = ()
+    # row-concatenation rewrite (batched einsums whose rows share every
+    # resident operand): the b rows' streamed operands are stored stacked
+    # along the long axis ((b, E, ...) -> (b*E, ...), free for row-major
+    # buffers via rowcat_args name groups) and the program becomes a
+    # SINGLE row over a b*E-long axis — identical traffic and MXU work,
+    # 1/b the grid steps, so per-block fixed overhead (the small-ndof
+    # P1/P2 tax) amortizes b-fold.  The single output is the b row
+    # outputs concatenated along the long axis.  SizeParam lengths are
+    # multiplied by b at build time.
+    rowcat: int = 1
+    rowcat_args: tuple = ()   # ((stacked_name, (row0_name, row1_name...)),)
     # double-double storage contract (pallas backend, f64 einsums): every
     # f64 operand is stored as a (2, ...) f32 [hi, lo] pair and the kernel
     # runs error-free-transformation arithmetic on the VPU (no f64 types
@@ -152,6 +163,8 @@ class ScheduleDescriptor:
                            _freeze_mapping(self.pre_layouts))
         object.__setattr__(self, "bind_lengths",
                            _freeze_mapping(self.bind_lengths))
+        object.__setattr__(self, "rowcat_args",
+                           _freeze_mapping(self.rowcat_args))
         object.__setattr__(self, "flags", _freeze_mapping(self.flags))
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")

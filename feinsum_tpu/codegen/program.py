@@ -346,6 +346,12 @@ def build_executable(program: EinsumProgram, *,
     # einsum (descriptor.bind_lengths) override the caller's long_dim_length
     for ix, ln in program.descriptor.bind_lengths:
         index_to_length[ix] = int(ln)
+    # row-concatenation rewrites stretch the long axis: b rows end-to-end
+    rc = getattr(program.descriptor, "rowcat", 1) or 1
+    if rc > 1:
+        for ix, ln in program.einsum.index_to_dim_length.items():
+            if isinstance(ln, SizeParam):
+                index_to_length[ix] *= rc
     # lane-pack rewrites scale the long axis: g elements per packed row
     g = getattr(program.descriptor, "lane_pack", 1) or 1
     if g > 1:

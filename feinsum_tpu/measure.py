@@ -101,6 +101,16 @@ def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
     from .ops.layouts import apply_nested_layout, fold_arrays, preblock_arrays
 
     out = dict(arrays)
+    # row-concatenation contract first: the rows' streamed operands stack
+    # end-to-end along the (leading) long axis (descriptor.rowcat_args)
+    for new_name, olds in (getattr(program.descriptor, "rowcat_args", ())
+                           or ()):
+        stack = [out.pop(n) for n in olds]
+        if isinstance(stack[0], np.ndarray):
+            out[new_name] = np.concatenate(stack, axis=0)
+        else:
+            import jax.numpy as jnp
+            out[new_name] = jnp.concatenate(stack, axis=0)
     # lane-pack contract first: g consecutive elements of the leading long
     # axis share one packed dof row, (E, *rest) -> (E/g, g*prod(rest)) —
     # a free reshape of the row-major buffer (descriptor.lane_pack)
@@ -281,7 +291,16 @@ def validate_batched_einsum_transform(
                   for k, v in _apply_layouts(program, np_arrays).items()}
     fn = build_executable(program, long_dim_length=long_dim_length)
     results = fn(dev_arrays)
-    if len(results) != einsum.b:
+    rc = getattr(program.descriptor, "rowcat", 1) or 1
+    if rc > 1:
+        # rowcat rewrites deliver ONE output: the rows concatenated along
+        # the (leading) long output axis — concatenate the oracle the same
+        from .einsum import SizeParam as _SP
+        (el,) = [ix for ix, ln in einsum.index_to_dim_length.items()
+                 if isinstance(ln, _SP)]
+        p_long = list(einsum.out_idx_set).index(el)
+        expected = [np.concatenate(expected, axis=p_long)]
+    if len(results) != (1 if rc > 1 else einsum.b):
         raise TransformValidationError(
             f"expected {einsum.b} outputs, got {len(results)}")
     out_layout = program.descriptor.out_layout

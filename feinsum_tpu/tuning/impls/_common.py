@@ -272,6 +272,7 @@ def make_dg_space(*, log2_block_max: int = 18):
         has_resident_private_indices(e)))
     @transform_param("lane_pack_g", lambda e: (
         IntParameter(0, 5) if lane_packable(e) else IntParameter(0, 0)))
+    @transform_param("rowcat", lambda e: gate(rowcat_applicable(e)))
     @transform_param("parallel_grid", lambda e: BoolParameter())
     @transform_param("vmem_idx", lambda e: IntParameter(0, 2))
     @transform_param("split_rows", lambda e: gate(e.b > 1))
@@ -281,9 +282,14 @@ def make_dg_space(*, log2_block_max: int = 18):
     def transform(program, log2_block, blkc128=0, *, dofmajor, parallel_grid,
                   hoist=False, fold=False, preblock=False, precision_3x=False,
                   jfold=False, mfold=False, prereduce=False, lane_pack_g=0,
-                  vmem_idx=None, split_rows=False, accum_f32=False,
-                  host_hoist=True):
+                  rowcat=False, vmem_idx=None, split_rows=False,
+                  accum_f32=False, host_hoist=True):
         extras = None
+        if rowcat:
+            if split_rows:
+                raise InvalidParameterError(
+                    "rowcat merges rows; split_rows contradicts it")
+            program, extras = rewrite_rowcat(program)
         if lane_pack_g:
             program, extras = rewrite_lane_pack(program,
                                                 2 ** int(lane_pack_g))
@@ -384,5 +390,78 @@ def rewrite_lane_pack(program, g: int):
         f.array(r_name, tuple(sizes[ix] for ix in r_idx), rdt))
     extras = dict(lane_pack=int(g), lane_pack_args=(s_name,),
                   kron_args=(r_name,))
+    return program.copy(einsum=e2,
+                        schedule=get_trivial_contraction_schedule(e2)), extras
+
+
+def rowcat_applicable(einsum) -> bool:
+    """rowcat merges batch rows that share EVERY resident operand and
+    stream DISTINCT per-row operands with the long axis LEADING (div/curl
+    shapes: J (E,s), u (E,j)); the long axis must lead the output too."""
+    e = einsum
+    if e.b <= 1:
+        return False
+    long_letters = [ix for ix, ln in e.index_to_dim_length.items()
+                    if isinstance(ln, SizeParam)]
+    if len(long_letters) != 1:
+        return False
+    el = long_letters[0]
+    if not e.out_idx_set or e.out_idx_set[0] != el:
+        return False
+    for p, idx in enumerate(e.in_idx_sets):
+        names = [e.args[r][p].name for r in range(e.b)]
+        dtypes = {e.args[r][p].dtype for r in range(e.b)}
+        if len(dtypes) != 1:
+            return False
+        if el in idx:
+            if idx[0] != el or len(set(names)) != e.b:
+                return False
+        else:
+            if len(set(names)) != 1:
+                return False
+    return True
+
+
+def rewrite_rowcat(program):
+    """Rewrite a rowcat-applicable batched program into a SINGLE row over a
+    b*E-long axis: streamed operands are stored stacked end-to-end
+    (descriptor.rowcat_args; free for (b, E, ...) row-major buffers),
+    residents pass through, and the one output is the b row outputs
+    concatenated.  Traffic and MXU work are identical; grid steps (and
+    their fixed overhead — the small-ndof P1/P2 tax) drop b-fold.
+
+    Returns ``(rewritten_program, descriptor_extras)``."""
+    import feinsum_tpu as f
+
+    e = program.einsum
+    if not rowcat_applicable(e):
+        raise InvalidParameterError(
+            "rowcat needs a batched einsum whose rows share every resident"
+            " operand and stream distinct long-leading operands")
+    el = long_axis_of(e)
+    taken = set(e.arg_to_shape)
+    new_args, rowcat_args = [], []
+    for p, idx in enumerate(e.in_idx_sets):
+        arg0 = e.args[0][p]
+        if el in idx:
+            k = 0
+            while f"cat{p}_{k}" in taken:
+                k += 1
+            name = f"cat{p}_{k}"
+            taken.add(name)
+            rowcat_args.append(
+                (name, tuple(e.args[r][p].name for r in range(e.b))))
+            shape = tuple(f"N{el}_" if ix == el else
+                          int(e.index_to_dim_length[ix]) for ix in idx)
+            new_args.append(f.array(name, shape, arg0.dtype.name))
+        else:
+            new_args.append(f.array(
+                arg0.name,
+                tuple(int(e.index_to_dim_length[ix]) for ix in idx),
+                arg0.dtype.name))
+    subs = (",".join("".join(s) for s in e.in_idx_sets)
+            + "->" + "".join(e.out_idx_set))
+    e2 = f.einsum(subs, *new_args)
+    extras = dict(rowcat=int(e.b), rowcat_args=tuple(rowcat_args))
     return program.copy(einsum=e2,
                         schedule=get_trivial_contraction_schedule(e2)), extras

@@ -76,10 +76,11 @@ if __name__ == "__main__":
         {"log2_block": lb, "blkc128": bc, "dofmajor": True, "fold": True,
          "preblock": False, "precision_3x": False, "hoist": False,
          "jfold": jf, "mfold": mf, "prereduce": False, "lane_pack_g": 0,
-         "parallel_grid": True, "vmem_idx": 2, "split_rows": False,
-         "accum_f32": False, "host_hoist": True}
+         "rowcat": rc, "parallel_grid": True, "vmem_idx": 2,
+         "split_rows": False, "accum_f32": False, "host_hoist": True}
         for lb, bc in ((17, 0), (18, 0), (16, 0), (0, 20), (0, 24))
-        for jf, mf in ((True, False), (False, True), (False, False))]
+        for jf, mf in ((True, False), (False, True), (False, False))
+        for rc in (False, True)]
     autotune(einsum, impl, stop_after=budget, long_dim_length=1_000_000,
              seed_configs=seeds)
     print("SMALL-NDOF TUNE DONE", flush=True)
