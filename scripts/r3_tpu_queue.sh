@@ -57,6 +57,8 @@ run 1000 python scripts/tune_small_ndof.py div10 600
 run 1000 python scripts/tune_small_ndof.py grad10 600
 run 1000 python scripts/tune_small_ndof.py div20 600
 run 1000 python scripts/tune_small_ndof.py grad20 600
+run 1000 python scripts/tune_small_ndof.py div35 600
+run 1000 python scripts/tune_small_ndof.py curl 600
 
 # 9: dd fp64 (pure-f32 Mosaic: does NOT poison the compile helpers)
 run 2400 python scripts/tune_dd.py div 1800

@@ -48,6 +48,7 @@ CLASSES = {
     # single-output div: its own canonical class (BASELINE row 1918.8; a
     # user matching ONE einsum misses the b=3 batched facts)
     "div_single": (mk_div_single(35), "dg_div_v0"),
+    "div35": (mk_div(35), "dg_div_v0"),     # headline row: rowcat candidate
     "div4": (mk_div(4), "dg_div_v0"),
     "div10": (mk_div(10), "dg_div_v0"),
     "div20": (mk_div(20), "dg_div_v0"),
