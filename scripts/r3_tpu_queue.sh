@@ -44,7 +44,12 @@ run() {
 # 0: probe (fast fail if relay is down again)
 run 300 python -c "import jax; print(jax.devices())"
 
-# 1-2: lane_pack sweeps (new knob, VERDICT #3)
+# 1: bench FIRST — if the relay window turns out short, a green
+# driver-verifiable bench (r2's missing artifact) beats everything else;
+# champions are warm in the persistent compile cache from r2
+run 5400 python bench.py
+
+# 2-3: lane_pack sweeps (new knob, VERDICT #3)
 run 2400 python scripts/tune_lane_pack.py matvec 1800
 run 1500 python scripts/tune_lane_pack.py vecmat 1000
 
