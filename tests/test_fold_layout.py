@@ -150,3 +150,62 @@ def test_fold_guards_tiny_c_blocks():
     prog = tr(f.generate_program(ens))
     with pytest.raises(InvalidParameterError):
         f.build_executable(prog, long_dim_length=8192)
+
+
+def test_unpack_output_inverts_each_contract():
+    """unpack_output is the exact inverse of every output storage contract
+    (used by compile_fn_with_archive to deliver logical outputs)."""
+    import numpy as np
+    import feinsum_tpu as f
+    from feinsum_tpu.ops.layouts import unpack_output
+
+    rng = np.random.default_rng(0)
+    E, d = 64, 8
+    logical = rng.random((E, d), np.float32)
+
+    # out_layout (dof-major transpose)
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", d), "float32"),
+                 f.array("D", (d, d), "float32"))
+    p = f.generate_program(e).with_descriptor(out_layout=(1, 0))
+    assert np.array_equal(
+        unpack_output(p, logical.T.copy(), (E, d)), logical)
+
+    # out_layout + fold (stored (d, 8, E/8))
+    p = f.generate_program(e).with_descriptor(
+        backend="pallas", out_layout=(1, 0), fold_long=8,
+        arg_layouts=(("u", (1, 0)),))
+    stored = logical.T.reshape(d, 8, E // 8)
+    assert np.array_equal(unpack_output(p, stored, (E, d)), logical)
+
+    # lane_pack (packed (E/g, g*d))
+    p = f.generate_program(e).with_descriptor(lane_pack=4)
+    assert np.array_equal(
+        unpack_output(p, logical.reshape(E // 4, 4 * d), (E, d)), logical)
+
+    # lane_pack 1D output (vecmat): (E,) stored (E/g, g)
+    vec = rng.random((E,), np.float32)
+    p = f.generate_program(e).with_descriptor(lane_pack=8)
+    assert np.array_equal(
+        unpack_output(p, vec.reshape(E // 8, 8), (E,)), vec)
+
+    # pre_out_layout (grouped 2D of a rank-3 logical output)
+    lg3 = rng.random((4, 6, 5), np.float32)
+    p = f.generate_program(e).with_descriptor(
+        pre_out_layout=((2, 0), (1,)))
+    stored = lg3.transpose(2, 0, 1).reshape(20, 6)
+    assert np.array_equal(unpack_output(p, stored, (4, 6, 5)), lg3)
+
+    # dd pairs
+    lg64 = rng.random((d, E))
+    hi = lg64.astype(np.float32)
+    lo = (lg64 - hi.astype(np.float64)).astype(np.float32)
+    p = f.generate_program(e).with_descriptor(
+        backend="pallas", dd_pairs=True, out_layout=(1, 0))
+    got = unpack_output(p, np.stack([hi, lo]), (E, d))
+    assert np.allclose(got, lg64.T, rtol=1e-13)
+
+    # shape mismatch is an error, not a silent reshape
+    import pytest
+    p = f.generate_program(e).with_descriptor()
+    with pytest.raises(ValueError, match="does not match"):
+        unpack_output(p, logical, (E, d + 1))
