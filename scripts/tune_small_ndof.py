@@ -74,7 +74,8 @@ if __name__ == "__main__":
     # big-block seeds: small-ndof rows are per-grid-step-overhead-bound —
     # the old 2^16 cap was binding (matvec's optimum sat AT the cap)
     seeds = [
-        {"log2_block": lb, "blkc128": bc, "dofmajor": True, "fold": True,
+        {"log2_block": max(lb, 8), "blkc128": bc, "dofmajor": True,
+         "fold": True,
          "preblock": False, "precision_3x": False, "hoist": False,
          "jfold": jf, "mfold": mf, "prereduce": False, "lane_pack_g": 0,
          "rowcat": rc, "parallel_grid": True, "vmem_idx": 2,
