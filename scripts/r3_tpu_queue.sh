@@ -64,6 +64,11 @@ run 1000 python scripts/tune_small_ndof.py div20 600
 run 1000 python scripts/tune_small_ndof.py grad20 600
 run 1000 python scripts/tune_small_ndof.py div35 600
 run 1000 python scripts/tune_small_ndof.py curl 600
+# face/mass sit AT the 80% north star; copy at 85 — consolidated-space
+# knobs (mfold/rowcat) they never searched + headroom insurance
+run 1000 python scripts/tune_small_ndof.py face 600
+run 1000 python scripts/tune_small_ndof.py mass 600
+run 800 python scripts/tune_small_ndof.py copy 400
 
 # 9: dd fp64 (pure-f32 Mosaic: does NOT poison the compile helpers)
 run 2400 python scripts/tune_dd.py div 1800

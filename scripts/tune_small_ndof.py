@@ -57,6 +57,18 @@ CLASSES = {
     "grad20": (mk_grad(20), "dg_grad_v0"),
     "matvec": (f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
                         f.array("D", (20, 20), "float32")), "mass_v0"),
+    # face/mass sit AT the 80% north star in r2d; the consolidated space
+    # exposes knobs (mfold/rowcat/prereduce) they have never searched
+    "face": (f.einsum("ifj,fe,fej->ei",
+                      f.array("L", (35, 4, 15), "float32"),
+                      f.array("Fj", (4, "E"), "float32"),
+                      f.array("flux", (4, "E", 15), "float32")),
+             "face_mass_v0"),
+    "mass": (f.einsum("e,ij,ej->ei", f.array("jac", ("E",), "float32"),
+                      f.array("M", (35, 35), "float32"),
+                      f.array("u", ("E", 35), "float32")), "mass_v0"),
+    "copy": (f.einsum("ij,ij->ij", f.array("A", ("E", 35), "float32"),
+                      f.array("B", ("E", 35), "float32")), "elementwise_v1"),
     "curl": (f.batched_einsum(
         "e,rij,ej->ei",
         [[f.array(j, ("E",), "float32"),
