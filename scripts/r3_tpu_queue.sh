@@ -80,6 +80,12 @@ run 2000 python scripts/tune_tc_pallas.py 1500
 # 11: re-validate the archive under proto3 (one process per class inside;
 # ends with the untagged-over-reporter retire pass) — VERDICT r2 #2
 run 14000 bash scripts/r3_reevaluate.sh
+# retire pass again as its OWN step (CPU/sqlite only — run directly, NOT
+# via run(): it must fire even when the relay is down): if the sweep above
+# hit its outer timeout mid-class, the in-script retire never ran
+echo "=== [retire] $(date '+%T')" | tee -a $LOG
+timeout 600 python scripts/r3_retire_untagged.py >> $LOG 2>&1
+echo "=== [retire] rc=$? $(date '+%T')" | tee -a $LOG
 
 # 12: bench (warms every champion into the persistent compile cache so the
 # driver's capture is fast + green; f64 runs last inside bench itself)
