@@ -458,3 +458,43 @@ def test_permutation_parameter_and_ttgt_v1():
                       layout_out=tuple(range(ro)), precision_idx=1,
                       natural_out=1)
     f.validate_batched_einsum_transform(e, tr, long_dim_length=24)
+
+
+def test_bench_stale_cache_fallback(monkeypatch, tmp_path, capsys):
+    """When the relay outage outlasts the full probe window, bench emits the
+    last green headline line marked stale_cache=true (exit 0) instead of no
+    artifact (exit 3) — and exits 3 as before when no green run is cached."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    import pytest
+    import subprocess
+
+    def probe_fails(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr("subprocess.run", probe_fails)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+
+    # no cache -> exit 3
+    cache = tmp_path / "green.json"
+    monkeypatch.setattr(bench, "_LAST_GREEN", str(cache))
+    with pytest.raises(SystemExit) as ei:
+        bench._probe_backend(attempts=2, probe_timeout=1)
+    assert ei.value.code == 3
+
+    # cached green line -> printed with stale markers, exit 0
+    line = {"metric": "m", "value": 81.26, "unit": "%roofline",
+            "vs_baseline": 1.515}
+    cache.write_text(json.dumps(
+        {"line": line, "captured_at": "2026-08-17T18:27:00Z"}))
+    with pytest.raises(SystemExit) as ei:
+        bench._probe_backend(attempts=2, probe_timeout=1)
+    assert ei.value.code == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    emitted = json.loads(out)
+    assert emitted["value"] == 81.26
+    assert emitted["stale_cache"] is True
+    assert emitted["captured_at"] == "2026-08-17T18:27:00Z"
