@@ -185,8 +185,8 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     for info, insn in zip(infos, insns):
         if info.scale is None:
             raise EinsumMatchError(
-                f"instruction {info.flat_index} carries a traced scalar"
-                f" factor; its value is unknowable at trace time — factor"
+                f"instruction {info.flat_index} is divided by a traced"
+                f" scalar; its factor is unknowable at trace time — factor"
                 f" it out or use get_a_matched_einsum/build_executable"
                 f" directly")
         einsum, _nm = _assemble_matched_einsum(
@@ -225,10 +225,16 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     expr_vars = [s.var for s in sources
                  if not isinstance(s.origin, int)
                  and not isinstance(s.var, np.ndarray)]
+    # traced rank-0 multiplicative factors (dt * rhs): evaluated from the
+    # call's inputs alongside the expression operands, re-applied per
+    # instruction below
+    scale_vars = [v for row_infos, _e, _p, _x, _l in plans
+                  for info in row_infos for v in info.scale_vars]
 
     def fn2(*args):
+        targets = expr_vars + [v for v in scale_vars if v not in expr_vars]
         expr_vals = _backward_slice_eval(closed.jaxpr, closed.consts,
-                                         args, expr_vars) if expr_vars \
+                                         args, targets) if targets \
             else {}
         name_to_val = {}
         for s in sources:
@@ -258,6 +264,8 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                 out = unpack_output(program, res, logical) if unpack else res
                 if info.scale != 1.0:
                     out = out * np.asarray(info.scale, out.dtype)
+                for v in info.scale_vars:
+                    out = out * expr_vals[v].astype(out.dtype)
                 k = info.out_index
                 acc[k] = out if k not in acc else acc[k] + out
         flat = [acc[k].astype(out_avals[k].dtype)

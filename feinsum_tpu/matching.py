@@ -88,14 +88,20 @@ class _Labels:
 class _Term:
     """A labeled tensor value in the dataflow: which operand uses it reaches
     back to, the product/contraction structure so far, and the accumulated
-    scalar factor (sign and literal scales; ``None`` once an untracked
-    scalar — a traced rank-0 factor — was absorbed)."""
+    scalar factor.  ``scale`` holds the sign and literal part; traced rank-0
+    multiplicative factors (a ``dt`` argument, a dot-product norm) are
+    captured as jaxpr atoms in ``scale_atoms`` — evaluable from the inputs
+    by backward slicing (feinsum_tpu.apply) even though their value is
+    unknowable at trace time.  ``scale`` is ``None`` only for the remaining
+    truly-unknowable case (division by a traced scalar)."""
 
-    def __init__(self, labels, operands, contracted, scale=1.0):
+    def __init__(self, labels, operands, contracted, scale=1.0,
+                 scale_atoms=()):
         self.labels = tuple(labels)          # per-axis label ids
         self.operands = tuple(operands)      # (source_index, axis labels)
         self.contracted = frozenset(contracted)  # label ids summed over
         self.scale = scale
+        self.scale_atoms = tuple(scale_atoms)    # traced rank-0 factors
 
 
 class _Sum:
@@ -152,17 +158,21 @@ class InsnInfo:
     accumulated scalar factor.
 
     ``scale`` is the product of the instruction's sign (from ``sub``/``neg``
-    sites) and any scalar *literal* factors; it is ``None`` when a traced
-    rank-0 factor was absorbed (value unknowable at trace time).  A matched
-    einsum evaluates the instruction *without* this factor — re-evaluating
-    ``fn`` from matched einsums must re-apply each instruction's ``scale``
-    (ADVICE r2)."""
+    sites) and any scalar *literal* factors; ``scale_vars`` holds the jaxpr
+    atoms of traced rank-0 multiplicative factors (a ``dt`` argument, a
+    dot-product norm) — ``compile_fn_with_archive`` evaluates them from the
+    call's inputs by backward slicing and re-applies them.  ``scale`` is
+    ``None`` only when the factor is truly unknowable (division by a traced
+    scalar).  A matched einsum evaluates the instruction *without* these
+    factors — re-evaluating ``fn`` from matched einsums must re-apply each
+    instruction's ``scale`` and ``scale_vars`` (ADVICE r2)."""
 
     out_index: int
     term_index: int
     arg_names: tuple
     flat_index: int
     scale: Optional[float] = 1.0
+    scale_vars: tuple = ()
 
 
 InsnMatchT = Union[int, tuple, Callable[[InsnInfo], bool], None]
@@ -289,6 +299,12 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
         """Unary shape/dtype primitives: part of the term when applied to a
         grammar value, part of the operand expression when applied to an
         opaque one."""
+        if isinstance(eqn.invars[0], Literal):
+            # a structural op on a literal (jnp.ones -> broadcast_in_dim of
+            # a scalar Literal, a transposed/cast constant) is constant
+            # folding — outside the grammar, usable as an operand expression
+            mark_opaque(eqn)
+            return
         val = read(eqn.invars[0])
         if isinstance(val, _Opaque):
             env[eqn.outvars[0]] = _Opaque(eqn.outvars[0].aval, val.deps)
@@ -322,14 +338,18 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                           | {a.labels[d] for d in lc})
             env[eqn.outvars[0]] = _Term(
                 out_labels, a.operands + b.operands, contracted,
-                _mul_scale(a.scale, b.scale))
+                _mul_scale(a.scale, b.scale),
+                a.scale_atoms + b.scale_atoms)
         elif prim == "transpose":
             perm = eqn.params["permutation"]
             structural(eqn, lambda t: _Term([t.labels[p] for p in perm],
                                             t.operands, t.contracted,
-                                            t.scale))
+                                            t.scale, t.scale_atoms))
         elif prim == "reduce_sum":
             axes = set(eqn.params["axes"])
+            if isinstance(eqn.invars[0], Literal):
+                mark_opaque(eqn)      # reducing a constant is a constant
+                continue
             val = read(eqn.invars[0])
             if isinstance(val, _Opaque):  # reduction = a grammar boundary
                 val = materialize(eqn.invars[0])
@@ -339,7 +359,7 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                     [l for d, l in enumerate(t.labels) if d not in axes],
                     t.operands,
                     set(t.contracted) | {t.labels[d] for d in axes},
-                    t.scale))
+                    t.scale, t.scale_atoms))
         elif prim in ("mul", "div"):
             # scalar factors scale a term without changing its einsum
             # structure (reference keeps them in the operand subst
@@ -381,11 +401,22 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                     env[eqn.outvars[0]] = _Opaque(
                         eqn.outvars[0].aval,
                         val.deps | atom_deps(s_atom))
+                elif factor is None and prim == "mul":
+                    # traced rank-0 factor (dt * rhs, dot(u,u) * einsum):
+                    # capture the atom — evaluable from the call's inputs
+                    # by backward slicing (InsnInfo.scale_vars)
+                    env[eqn.outvars[0]] = map_terms(
+                        val, lambda t: _Term(t.labels, t.operands,
+                                             t.contracted, t.scale,
+                                             t.scale_atoms + (s_atom,)))
                 else:
+                    # literal factor, or division by a traced scalar
+                    # (factor None there -> scale None: truly unknowable)
                     env[eqn.outvars[0]] = map_terms(
                         val, lambda t: _Term(t.labels, t.operands,
                                              t.contracted,
-                                             _mul_scale(t.scale, factor)))
+                                             _mul_scale(t.scale, factor),
+                                             t.scale_atoms))
                 continue
             if prim == "div":
                 mark_opaque(eqn)          # tensor / tensor: outside grammar
@@ -401,7 +432,8 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
             env[eqn.outvars[0]] = _Term(
                 a.labels, a.operands + b.operands,
                 set(a.contracted) | set(b.contracted),
-                _mul_scale(a.scale, b.scale))
+                _mul_scale(a.scale, b.scale),
+                a.scale_atoms + b.scale_atoms)
         elif prim in ("add", "sub"):
             def is_scalar_offset(v):
                 # a rank-0 addend that is NOT itself a grammar value (a
@@ -432,7 +464,8 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
             tb = _as_terms(vals[1])
             if prim == "sub":
                 tb = tuple(_Term(t.labels, t.operands, t.contracted,
-                                 _mul_scale(t.scale, -1.0)) for t in tb)
+                                 _mul_scale(t.scale, -1.0),
+                                 t.scale_atoms) for t in tb)
             rank = len(ta[0].labels)
             if any(len(t.labels) != rank for t in ta + tb):
                 raise EinsumMatchError(
@@ -445,7 +478,8 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
         elif prim == "neg":
             structural(eqn, lambda t: _Term(t.labels, t.operands,
                                             t.contracted,
-                                            _mul_scale(t.scale, -1.0)))
+                                            _mul_scale(t.scale, -1.0),
+                                            t.scale_atoms))
         elif prim == "broadcast_in_dim":
             bdims = eqn.params["broadcast_dimensions"]
             shape = eqn.params["shape"]
@@ -456,12 +490,14 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                     out_labels[dst] = t.labels[src]
                 out_labels = [labels.fresh() if l is None else l
                               for l in out_labels]
-                return _Term(out_labels, t.operands, t.contracted, t.scale)
+                return _Term(out_labels, t.operands, t.contracted,
+                             t.scale, t.scale_atoms)
 
             structural(eqn, bcast)
         elif prim in ("convert_element_type",):
             structural(eqn, lambda t: _Term(t.labels, t.operands,
-                                            t.contracted, t.scale))
+                                            t.contracted, t.scale,
+                                            t.scale_atoms))
         else:
             # outside the grammar: the value becomes a candidate operand
             # expression (cut at the next product/reduction boundary)
@@ -489,7 +525,8 @@ def _insn_infos(out_sums, sources) -> list:
         for ti, term in enumerate(terms):
             names = tuple(dict.fromkeys(
                 sources[idx].name for idx, _ in term.operands))
-            infos.append(InsnInfo(oi, ti, names, flat, term.scale))
+            infos.append(InsnInfo(oi, ti, names, flat, term.scale,
+                                  term.scale_atoms))
             flat += 1
     return infos
 
@@ -671,9 +708,10 @@ def get_matched_einsums(
     collection pass (single-row assembly never mutates shared state).
 
     Results are structure-only for evaluation purposes: each einsum computes
-    its instruction WITHOUT the instruction's sign/scalar factor — re-apply
-    :attr:`InsnInfo.scale` (``None`` = a traced scalar factor, unknowable
-    here) before summing matched einsums back into *fn*'s value."""
+    its instruction WITHOUT the instruction's sign/scalar factors — re-apply
+    :attr:`InsnInfo.scale` (``None`` = divided by a traced scalar, unknowable
+    here) and the traced factors in :attr:`InsnInfo.scale_vars` before
+    summing matched einsums back into *fn*'s value."""
     _traced, labels, sources, _names, out_sums = _collect_instructions(
         fn, example_args, arg_names=arg_names)
     infos = _insn_infos(out_sums, sources)

@@ -289,6 +289,12 @@ def make_dg_space(*, log2_block_max: int = 18):
             if split_rows:
                 raise InvalidParameterError(
                     "rowcat merges rows; split_rows contradicts it")
+            if lane_pack_g:
+                # composing the rewrites would need merged descriptor
+                # extras AND a composed storage contract — unsupported
+                # (bind_args skips space validation, so guard here too)
+                raise InvalidParameterError(
+                    "rowcat and lane_pack cannot compose")
             program, extras = rewrite_rowcat(program)
         if lane_pack_g:
             program, extras = rewrite_lane_pack(program,

@@ -87,13 +87,27 @@ def test_archive_hit_replays_tuned_schedule():
     _close(fn2(u, M), user(u, M))
 
 
-def test_traced_scalar_factor_rejected():
+def test_traced_scalar_factor_applied():
+    """r3 review #4: a traced rank-0 multiplicative factor (dt * rhs) is
+    captured as a scale_var and re-applied at call time."""
     d = _data()
 
     def user(u, alpha):
         return alpha * jnp.einsum("ej,ej->e", u, u)
 
-    with pytest.raises(EinsumMatchError, match="scalar factor"):
+    fn2 = f.compile_fn_with_archive(user, [d["u"], jnp.float32(2.0)])
+    got = np.asarray(fn2(d["u"], jnp.float32(0.25)))
+    ref = 0.25 * np.einsum("ej,ej->e", d["u"], d["u"])
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_traced_scalar_divisor_rejected():
+    d = _data()
+
+    def user(u, alpha):
+        return jnp.einsum("ej,ej->e", u, u) / alpha
+
+    with pytest.raises(EinsumMatchError, match="divided by a traced"):
         f.compile_fn_with_archive(user, [d["u"], jnp.float32(2.0)])
 
 

@@ -259,8 +259,11 @@ def test_insn_scale_tracking():
         fn, [jnp.ones((600, 8), jnp.float32),
              jnp.ones((8, 8), jnp.float32),
              jnp.float32(3.0)])
-    # traced scalar factor -> unknowable at trace time
-    assert insns2[0][2].scale is None
+    # traced scalar factor -> captured as a scale_var (evaluable from the
+    # inputs); the neg's sign stays on scale
+    info2 = insns2[0][2]
+    assert info2.scale == -1.0
+    assert len(info2.scale_vars) == 1
 
 
 def test_match_rejects_scalar_offset():
@@ -327,8 +330,8 @@ def test_scalar_einsum_sums_still_match():
 
 def test_scalar_literal_times_traced_scalar_orders():
     """Regression (r3 review #4): (alpha * 2.0) and (2.0 * alpha) factors
-    behave identically — scale becomes None (unknowable), no literal
-    rejection."""
+    behave identically — the traced scalar product is captured as ONE
+    scale_var, no literal rejection."""
     from feinsum_tpu.matching import get_matched_einsums
 
     for expr in (lambda a: a * 2.0, lambda a: 2.0 * a):
@@ -338,4 +341,41 @@ def test_scalar_literal_times_traced_scalar_orders():
         insns = get_matched_einsums(
             fn, [jnp.ones((600, 8), jnp.float32),
                  jnp.ones((8, 8), jnp.float32), jnp.float32(3.0)])
-        assert insns[0][2].scale is None
+        info = insns[0][2]
+        assert info.scale is not None
+        assert len(info.scale_vars) == 1
+
+
+def test_match_constant_folded_operands():
+    """r3 review #1: structural primitives over literals (jnp.ones ->
+    broadcast_in_dim of a scalar Literal, transposed/cast constants) route
+    through the opaque-expression seam instead of raising."""
+    u = jnp.ones((600, 8), jnp.float32)
+    M = jnp.ones((8, 8), jnp.float32)
+
+    # additive constant feeding a product: operand expr depending on u
+    def fn(u, M):
+        return jnp.einsum("ej,ij->ei", u + jnp.ones((600, 8), jnp.float32),
+                          M)
+
+    e, nm = get_a_matched_einsum(fn, [u, M])
+    assert e.n == 2
+    (expr_name,) = [k for k in nm if k.startswith("expr")]
+    assert nm[expr_name] == (0,)
+
+    # multiplicative constant (transposed twice = structural over opaque):
+    # a captured const operand with no input deps
+    def fn2(u, M):
+        c = jnp.ones((600, 8), jnp.float32).T.T
+        return jnp.einsum("ej,ij->ei", u * c, M)
+
+    e2, nm2 = get_a_matched_einsum(fn2, [u, M])
+    assert any(v == () for v in nm2.values())
+
+    # reducing a constant is a constant (not a grammar contraction)
+    def fn3(u, M):
+        s = jnp.sum(jnp.ones((8, 8), jnp.float32), axis=0)  # (8,) const
+        return jnp.einsum("ej,ij->ei", u * s[None, :], M)
+
+    e3, nm3 = get_a_matched_einsum(fn3, [u, M])
+    assert e3.n >= 2

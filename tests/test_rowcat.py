@@ -100,3 +100,22 @@ def test_rowcat_champion_replays_through_apply(tmp_path):
     scale = float(jnp.max(jnp.abs(ref)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5 * scale)
+
+
+def test_rowcat_lane_pack_combination_rejected():
+    """r3 review #5: the two rewrites both produce descriptor extras — the
+    second would silently overwrite the first's (dropping rowcat_args), so
+    the combination is rejected up front (bind_args skips space
+    validation)."""
+    # a batched matvec class: rowcat-applicable (rows share D) AND
+    # lane-packable
+    mv = f.batched_einsum(
+        "ej,ij->ei",
+        [[f.array(u, ("E", 4), "float32"),
+          f.array("D", (4, 4), "float32")]
+         for u in ("ux", "uy")])
+    sp = get_transform_func_from_module_path("mass_v0")
+    tr = sp.bind_args(mv, log2_block=10, dofmajor=True, parallel_grid=True,
+                      rowcat=True, lane_pack_g=1)
+    with pytest.raises(InvalidParameterError, match="cannot compose"):
+        tr(f.generate_program(mv))
