@@ -501,13 +501,20 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 3),
     }
     print(json.dumps(line))
-    try:
-        with open(_LAST_GREEN, "w") as fh:
-            json.dump({"line": line,
-                       "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                                    time.gmtime())}, fh)
-    except OSError as ex:
-        log(f"could not save last-green cache: {ex}")
+    # only a COMPLETE run may become the stale-outage fallback: a partial
+    # run (mid-run relay wedge skips rows) or all-failed run (geomean 0)
+    # must not clobber a genuine green capture
+    if len(ours) == len(suite()) and value > 0.0:
+        try:
+            with open(_LAST_GREEN, "w") as fh:
+                json.dump({"line": line,
+                           "captured_at": time.strftime(
+                               "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, fh)
+        except OSError as ex:
+            log(f"could not save last-green cache: {ex}")
+    else:
+        log(f"headline incomplete ({len(ours)}/{len(suite())} rows) —"
+            " NOT saving as last-green cache")
 
     # evidence tables (stderr only; failures here never break the headline)
     for section in (run_extended, run_tccg, run_replay_latency, run_fp64):

@@ -79,7 +79,32 @@ CLASSES = {
 }
 
 
+def project_seed(space, seed):
+    """Project a make_dg_space-shaped seed onto *space*: autotune silently
+    DROPS seeds failing exact key-set validation, so a pinned knob
+    (rowcat gated to IntParameter(0,0) on b=1 classes) or a differently
+    shaped space (elementwise_v1 for copy) would discard the whole seed.
+    Out-of-space keys drop, missing keys fill conservatively, out-of-range
+    values clamp (True -> pinned 0)."""
+    from feinsum_tpu.tuning import BoolParameter, IntParameter
+    out = {}
+    for k, p in space.items():
+        v = seed.get(k)
+        if v is not None and p.contains(v):
+            out[k] = v
+        elif isinstance(p, IntParameter):
+            out[k] = min(max(int(v or 0), p.low), p.high)
+        elif isinstance(p, BoolParameter):
+            out[k] = bool(v)
+        else:
+            import numpy as np
+            out[k] = p.sample(np.random.default_rng(0))
+    return out
+
+
 if __name__ == "__main__":
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
     which = sys.argv[1] if len(sys.argv) > 1 else "div4"
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
     einsum, impl = CLASSES[which]
@@ -95,6 +120,17 @@ if __name__ == "__main__":
         for lb, bc in ((17, 0), (18, 0), (16, 0), (0, 20), (0, 24))
         for jf, mf in ((True, False), (False, True), (False, False))
         for rc in (False, True)]
+    space = get_transform_func_from_module_path(impl).get_param_space(
+        f.canonicalize_einsum(einsum))
+    projected, seen = [], set()
+    for s in seeds:
+        p = project_seed(space, s)
+        key = tuple(sorted(p.items()))
+        if key not in seen:
+            seen.add(key)
+            projected.append(p)
+    print(f"{len(projected)} projected seeds (from {len(seeds)})",
+          flush=True)
     autotune(einsum, impl, stop_after=budget, long_dim_length=1_000_000,
-             seed_configs=seeds)
+             seed_configs=projected)
     print("SMALL-NDOF TUNE DONE", flush=True)
