@@ -204,8 +204,12 @@ def candidate_transforms(name, einsum):
             seen.add(key)
             distinct.append(q)
     for rank, q in enumerate(distinct[:4]):
+        # timing-protocol provenance (VERDICT r2 weak #2): rows measured
+        # under a retired instrument are visibly marked
+        proto = ("proto3" if "timing-proto3" in (q.compiler_version or "")
+                 else "PRE-PROTO3")
         yield (f"archive[{rank}] {q.transform_id}"
-               f" ({q.total_giga_op_rate:.0f} GOp/s)"), q.transform
+               f" ({q.total_giga_op_rate:.0f} GOp/s, {proto})"), q.transform
     if any(a.dtype == "float64" for row in einsum.args for a in row):
         # first-party double-double kernel (ops/dd_emitter.py): zero HBM
         # temps vs XLA's ~29 GB f64-emulation decomposition; falls through
@@ -302,6 +306,7 @@ def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH,
     for label, transform in candidate_transforms(name, einsum):
         try:
             dt, arrays, fn = attempt(transform)
+            log(f"{name}: measured via {label}")
             break
         except Exception as ex:  # noqa: BLE001
             last_ex = ex
