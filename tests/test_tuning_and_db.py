@@ -318,6 +318,7 @@ def test_bench_candidate_ladder_dedups(monkeypatch):
             self.transform_id = "mass_v0.py"
             self.transform_params = tuple(sorted(params.items()))
             self.total_giga_op_rate = rate
+            self.compiler_version = "jax=x timing-proto3"
             self.transform = lambda p: p
 
     dup = {"log2_block": 10}
