@@ -23,7 +23,10 @@ from feinsum_tpu import sql_utils
 import bench
 # the driver-visible bench rows, headline first — DB keys are CANONICAL
 PRIORITY = []
-for _n, e, _r in list(bench.suite()) + list(bench.extended_suite()):
+for e in ([e for _n, e, _r in list(bench.suite())
+           + list(bench.extended_suite())]
+          + [f.get_tccg_benchmark(i, dtype="float32")
+             for i in bench.TCCG_SAMPLE]):
     s = f.canonicalize_einsum(e).get_subscripts()
     if s not in PRIORITY:
         PRIORITY.append(s)
