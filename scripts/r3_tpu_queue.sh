@@ -10,6 +10,13 @@ LOG=/tmp/r3_queue.log
 START=${1:-0}
 step=0
 
+# HARD DEADLINE: the driver runs its own bench.py on the TPU at round end
+# (~16:45 UTC 2026-08-18); a queue step still running then would violate
+# the one-TPU-process rule and wedge the driver's capture.  Every step's
+# budget is clipped so it ENDS before the deadline; too-small remainders
+# skip.  (Round 4 reuses this script: bump the date.)
+DEADLINE=$(date -d '2026-08-18 15:45 UTC' +%s 2>/dev/null || echo 0)
+
 wait_up() {
     # relay may wedge mid-queue: block (up to ~6 h) until a bounded probe
     # succeeds so later steps don't burn their budgets on a dead relay
@@ -35,6 +42,20 @@ run() {
     fi
     wait_up || { echo "=== [$step] SKIPPED (relay down) $*" | tee -a $LOG;
                  step=$((step+1)); return; }
+    # deadline clip AFTER wait_up: waiting for the relay may itself have
+    # eaten hours
+    if [ "$DEADLINE" -gt 0 ]; then
+        local remain=$((DEADLINE - $(date +%s)))
+        if [ "$remain" -lt 600 ]; then
+            echo "=== [$step] SKIPPED (deadline) $*" | tee -a $LOG
+            step=$((step+1)); return
+        fi
+        if [ "$budget" -gt "$remain" ]; then
+            echo "=== [$step] budget $budget -> $remain (deadline)" \
+                | tee -a $LOG
+            budget=$remain
+        fi
+    fi
     echo "=== [$step] $(date '+%T') $*" | tee -a $LOG
     timeout "$budget" "$@" >> $LOG 2>&1
     echo "=== [$step] rc=$? $(date '+%T')" | tee -a $LOG
