@@ -44,7 +44,17 @@ for s in seen:
 EOF
 echo "$(wc -l < /tmp/r3_classes.txt) classes to re-time" | tee -a $LOG
 
+# QUEUE_DEADLINE (epoch secs, optional): stop starting classes when no
+# room remains for a full 1500 s class — a clean exit here is what lets
+# the caller avoid SIGTERM-ing a mid-compile process (wedge risk)
+QD=${QUEUE_DEADLINE:-0}
+
 while IFS= read -r subs; do
+    if [ "$QD" -gt 0 ] && [ $(($(date +%s) + 1600)) -gt "$QD" ]; then
+        echo "=== $(date '+%T') deadline; stopping before [$subs]" \
+            | tee -a $LOG
+        break
+    fi
     # bounded probe: a wedged relay must cost ~4 min, not 25 per class
     if ! timeout 240 python -c "import jax; jax.devices()" >/dev/null 2>&1
     then

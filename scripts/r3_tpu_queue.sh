@@ -42,18 +42,17 @@ run() {
     fi
     wait_up || { echo "=== [$step] SKIPPED (relay down) $*" | tee -a $LOG;
                  step=$((step+1)); return; }
-    # deadline clip AFTER wait_up: waiting for the relay may itself have
-    # eaten hours
+    # deadline check AFTER wait_up: waiting for the relay may itself have
+    # eaten hours.  SKIP rather than truncate: a clipped `timeout` fires
+    # SIGTERM mid-compile, which has wedged the relay for 8 h before
+    # (CLAUDE.md relay ops).  Self-limiting steps (r3_reevaluate.sh reads
+    # QUEUE_DEADLINE and stops between classes) pass a pre-shrunk budget.
     if [ "$DEADLINE" -gt 0 ]; then
         local remain=$((DEADLINE - $(date +%s)))
-        if [ "$remain" -lt 600 ]; then
-            echo "=== [$step] SKIPPED (deadline) $*" | tee -a $LOG
-            step=$((step+1)); return
-        fi
         if [ "$budget" -gt "$remain" ]; then
-            echo "=== [$step] budget $budget -> $remain (deadline)" \
-                | tee -a $LOG
-            budget=$remain
+            echo "=== [$step] SKIPPED (deadline: need ${budget}s," \
+                "have ${remain}s) $*" | tee -a $LOG
+            step=$((step+1)); return
         fi
     fi
     echo "=== [$step] $(date '+%T') $*" | tee -a $LOG
@@ -99,8 +98,23 @@ run 2400 python scripts/tune_dd.py div 1800
 run 2000 python scripts/tune_tc_pallas.py 1500
 
 # 11: re-validate the archive under proto3 (one process per class inside;
-# ends with the untagged-over-reporter retire pass) — VERDICT r2 #2
-run 14000 bash scripts/r3_reevaluate.sh
+# ends with the untagged-over-reporter retire pass) — VERDICT r2 #2.
+# Self-limiting: the class loop stops when QUEUE_DEADLINE leaves no room
+# for another 1500 s class, so the whole-window budget below never
+# SIGTERMs it mid-compile; reserve 5700 s after it for the final bench.
+export QUEUE_DEADLINE=$((DEADLINE > 0 ? DEADLINE - 5700 : 0))
+if [ "$DEADLINE" -gt 0 ]; then
+    reeval_budget=$((DEADLINE - $(date +%s) - 5500))
+    [ $reeval_budget -gt 14000 ] && reeval_budget=14000
+else
+    reeval_budget=14000
+fi
+if [ "$reeval_budget" -gt 1800 ]; then
+    run "$reeval_budget" bash scripts/r3_reevaluate.sh
+else
+    echo "=== [11] SKIPPED (no room before deadline)" | tee -a $LOG
+    step=$((step+1))
+fi
 # retire pass again as its OWN step (CPU/sqlite only — run directly, NOT
 # via run(): it must fire even when the relay is down): if the sweep above
 # hit its outer timeout mid-class, the in-script retire never ran
