@@ -19,10 +19,21 @@ DEADLINE=$(date -d '2026-08-18 15:45 UTC' +%s 2>/dev/null || echo 0)
 
 wait_up() {
     # relay may wedge mid-queue: block (up to ~6 h) until a bounded probe
-    # succeeds so later steps don't burn their budgets on a dead relay
+    # succeeds so later steps don't burn their budgets on a dead relay.
+    # NEVER probe past the deadline: the probe itself touches the TPU and
+    # would collide with the driver's round-end bench.
     local tries=0
-    while ! timeout 240 python -c "import jax; jax.devices()" \
-            >/dev/null 2>&1; do
+    while true; do
+        if [ "$DEADLINE" -gt 0 ] \
+                && [ "$(date +%s)" -ge $((DEADLINE - 300)) ]; then
+            echo "    deadline reached while waiting; stopping probes" \
+                | tee -a $LOG
+            return 1
+        fi
+        if timeout 240 python -c "import jax; jax.devices()" \
+                >/dev/null 2>&1; then
+            return 0
+        fi
         tries=$((tries+1))
         echo "    relay down (probe $tries); sleeping 420 s" | tee -a $LOG
         if [ $tries -ge 50 ]; then
@@ -31,7 +42,6 @@ wait_up() {
         fi
         sleep 420
     done
-    return 0
 }
 
 run() {
@@ -70,32 +80,32 @@ run 300 python -c "import jax; print(jax.devices())"
 run 5400 python bench.py
 
 # 2-3: lane_pack sweeps (new knob, VERDICT #3)
-run 2400 python scripts/tune_lane_pack.py matvec 1800
-run 1500 python scripts/tune_lane_pack.py vecmat 1000
+run 2700 python scripts/tune_lane_pack.py matvec 1800
+run 1900 python scripts/tune_lane_pack.py vecmat 1000
 
 # 3-8: small-ndof retune under the consolidated space (+ the uncovered
 # single-output div class)
-run 1000 python scripts/tune_small_ndof.py div_single 600
-run 1000 python scripts/tune_small_ndof.py div4 600
-run 1000 python scripts/tune_small_ndof.py grad4 600
-run 1000 python scripts/tune_small_ndof.py div10 600
-run 1000 python scripts/tune_small_ndof.py grad10 600
-run 1000 python scripts/tune_small_ndof.py div20 600
-run 1000 python scripts/tune_small_ndof.py grad20 600
-run 1000 python scripts/tune_small_ndof.py div35 600
-run 1000 python scripts/tune_small_ndof.py curl 600
+run 1500 python scripts/tune_small_ndof.py div_single 600
+run 1500 python scripts/tune_small_ndof.py div4 600
+run 1500 python scripts/tune_small_ndof.py grad4 600
+run 1500 python scripts/tune_small_ndof.py div10 600
+run 1500 python scripts/tune_small_ndof.py grad10 600
+run 1500 python scripts/tune_small_ndof.py div20 600
+run 1500 python scripts/tune_small_ndof.py grad20 600
+run 1500 python scripts/tune_small_ndof.py div35 600
+run 1500 python scripts/tune_small_ndof.py curl 600
 # face/mass sit AT the 80% north star; copy at 85 — consolidated-space
 # knobs (mfold/rowcat) they never searched + headroom insurance
-run 1000 python scripts/tune_small_ndof.py face 600
-run 1000 python scripts/tune_small_ndof.py mass 600
-run 800 python scripts/tune_small_ndof.py copy 400
+run 1500 python scripts/tune_small_ndof.py face 600
+run 1500 python scripts/tune_small_ndof.py mass 600
+run 1300 python scripts/tune_small_ndof.py copy 400
 
 # 9: dd fp64 (pure-f32 Mosaic: does NOT poison the compile helpers)
-run 2400 python scripts/tune_dd.py div 1800
+run 2700 python scripts/tune_dd.py div 1800
 
 # 10: tc_pallas_v0 evidence (VERDICT #4a) — enumerated, not random: the
 # guarded space has only 0-8 valid points per benchmark
-run 2000 python scripts/tune_tc_pallas.py 1500
+run 2400 python scripts/tune_tc_pallas.py 1500
 
 # 11: re-validate the archive under proto3 (one process per class inside;
 # ends with the untagged-over-reporter retire pass) — VERDICT r2 #2.
