@@ -145,7 +145,11 @@ def fp64_suite():
     subprocess exit 1 — observed twice, bench r2b/r2c: all post-fp64 rows
     failed while persistent-cache hits sailed through), so nothing that
     still needs a compile may run after it."""
-    return [("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6)]
+    return [("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6),
+            # dd-kernel coverage row (pure-f32 Mosaic, safe to compile);
+            # runs LAST: if its dd candidate fails and it falls to a fresh
+            # XLA-f64 compile, the sick helpers can no longer hurt anything
+            ("dg_grad_ndof35_fp64", make_grad(35, "float64"), 2002.4)]
 
 # }}}
 

@@ -18,9 +18,12 @@ contractions accumulate to ~1e-13 relative — inside the f64 oracle's 1e-12
 north star (the reference's archive is fp64-everywhere, BASELINE.md).
 
 Supported family (the reference archive's DG shapes): per batch row
-``out[e,i] = [J[e(,s)]] * R[(s,)i,j] . u[e,j]`` — mass ``e,ij,ej->ei``,
-matvec ``ij,ej->ei``, div ``es,sij,ej->ei`` (reference
-tuning/impls/xre_rij_xej_to_ei*.py and e_ij_ej_to_ei*.py, fp64 rows).
+``out[x?,e,i] = Σ_{s?} F[x?,s?,e] · Σ_j R[s?,i,j] · u[s?,e,j]`` —
+matvec ``ij,ej->ei``, mass ``e,ij,ej->ei``, div ``es,sij,ej->ei``,
+grad ``xre,rij,ej->xei``, curl-style ``e,rij,ej->ei``, and face_mass
+``ifj,fe,fej->ei`` (reference tuning/impls/xre_rij_xej_to_ei*.py,
+e_ij_ej_to_ei*.py, xre_rij_ej_to_xei*.py, ijf_fe_fej_to_ei*.py — all
+fp64 rows).
 """
 
 from __future__ import annotations
@@ -103,82 +106,136 @@ def split_to_pairs(arr):
     return jnp.stack([hi, lo])
 
 
+class _RowPlan:
+    """One batch row classified for the dd kernel (see _recognize_row)."""
+
+    def __init__(self, u, u_idx, R, r_idx, J, j_idx, s_letter, j_letter,
+                 x_letter, u_has_s):
+        self.u, self.u_idx = u, tuple(u_idx)
+        self.R, self.r_idx = R, tuple(r_idx)
+        self.J = J
+        self.j_idx = tuple(j_idx)
+        self.s_letter = s_letter
+        self.j_letter = j_letter
+        self.x_letter = x_letter
+        self.u_has_s = u_has_s
+
+
 def _recognize_row(e, row):
     """Classify one batch row's operands for the dd kernel.
 
-    Returns ``(u, R, J, s_letter, j_letter)`` where ``u = (arg, j_letter)``
-    streams (e, j), ``R = (arg, idx)`` is the resident matrix over
-    {s?, i, j}, and ``J`` is an optional ``(arg, axes)`` streamed factor
-    over (e,) or (e, s).  For div-like rows (two streamed 2-axis operands,
-    both letters contracted by R — Σ_s J[e,s] Σ_j R[s,i,j] u[e,j] is
-    symmetric in (s, j)) the larger letter becomes j (the unrolled inner
-    loop) for determinism."""
+    The supported shape is the full reference DG family (the fp64 rows of
+    tuning/impls/xre_rij_xej_to_ei*.py, e_ij_ej_to_ei*.py,
+    xre_rij_ej_to_xei*.py, ijf_fe_fej_to_ei*.py):
+
+        out[x?, e, i] = Σ_{s?} F[x?, s?, e] · Σ_j R[s?, i, j] · u[s?, e, j]
+
+    ``u`` is the streamed dof operand (e, j) — possibly carrying ``s``
+    (face_mass's flux); ``R`` the single resident over {s?, i, j}; ``F``
+    an optional streamed factor over any subset of {x, s} plus e (div's
+    Jacobian (e,s), grad's (x,s,e), mass/curl's (e,)); ``x`` an extra
+    STATIC output axis carried only by F (grad).  For div-like rows (two
+    (e, letter) streams, both letters contracted — Σ symmetric in (s, j))
+    the larger letter becomes j (the unrolled inner dot) for determinism."""
     long_letters = [ix for ix, ln in e.index_to_dim_length.items()
                     if isinstance(ln, SizeParam)]
     if len(long_letters) != 1:
         raise InvalidParameterError("dd kernel needs exactly one long axis")
     el = long_letters[0]
-    if len(e.out_idx_set) != 2 or e.out_idx_set[0] != el:
+    out = tuple(e.out_idx_set)
+    if len(out) == 2 and out[0] == el:
+        x_letter, i = None, out[1]
+    elif len(out) == 3 and out[1] == el:
+        x_letter, i = out[0], out[2]
+    else:
         raise InvalidParameterError(
-            "dd kernel expects output (e, i) with the long axis leading")
-    i = e.out_idx_set[1]
-    streams2, streams1, resident = [], [], []
+            "dd kernel expects output (e, i) or (x, e, i) with the long"
+            " axis before i")
+    streams, resident = [], []
     for arg, idx in zip(row, e.in_idx_sets):
         idx = tuple(idx)
-        if el in idx:
-            if idx == (el,):
-                streams1.append(arg)
-            elif len(idx) == 2 and idx[0] == el:
-                streams2.append((arg, idx[1]))
-            else:
-                raise InvalidParameterError(
-                    f"dd kernel: unsupported streamed operand {idx}")
-        else:
-            resident.append((arg, idx))
+        (streams if el in idx else resident).append((arg, idx))
     if len(resident) != 1:
         raise InvalidParameterError(
             "dd kernel needs exactly one resident operand")
-    R = resident[0]
-    r_idx = tuple(R[1])
-    if i not in r_idx or len(r_idx) > 3:
+    R, r_idx = resident[0]
+    if i not in r_idx or el in r_idx or len(r_idx) > 3 \
+            or (x_letter is not None and x_letter in r_idx):
         raise InvalidParameterError(
             "dd kernel: resident operand must be (s?, i, j)")
     contracted = [ix for ix in r_idx if ix != i]
-    if len(streams2) == 1 and not streams1 and len(contracted) == 1:
-        u, J, s_letter = streams2[0], None, None            # matvec
-    elif len(streams2) == 1 and len(streams1) == 1 \
-            and len(contracted) == 1:
-        u, J, s_letter = streams2[0], (streams1[0], ()), None   # mass
-    elif len(streams2) == 2 and not streams1 and len(contracted) == 2:
-        # div: both streamed letters contracted by R; larger letter = j
-        a, b = streams2
-        if {a[1], b[1]} != set(contracted):
+    if not 1 <= len(contracted) <= 2 or not 1 <= len(streams) <= 2:
+        raise InvalidParameterError(
+            "dd kernel: unsupported operand structure (want the DG"
+            " matvec/mass/div/grad/curl/face family)")
+
+    def free(op):
+        return set(op[1]) - {el}
+
+    if len(streams) == 1:
+        u_op, J_op = streams[0], None
+    elif x_letter is not None:
+        # grad: the factor is the operand carrying x
+        withx = [op for op in streams if x_letter in op[1]]
+        if len(withx) != 1:
             raise InvalidParameterError(
-                "dd kernel: streamed letters must match the resident's"
-                " contracted axes")
-        if int(e.index_to_dim_length[a[1]]) \
-                >= int(e.index_to_dim_length[b[1]]):
-            u, jf = a, b
+                "dd kernel: the extra output axis must come from exactly"
+                " one streamed factor")
+        J_op = withx[0]
+        u_op = streams[1 - streams.index(J_op)]
+    elif any(not free(op) for op in streams):
+        # mass/curl: a bare (e,) factor
+        J_op = next(op for op in streams if not free(op))
+        u_op = streams[1 - streams.index(J_op)]
+    elif any(free(a) < free(b) for a in streams for b in streams):
+        # face: flux (s, e, j) carries a superset of Fj (s, e)
+        u_op = max(streams, key=lambda op: len(free(op)))
+        J_op = streams[1 - streams.index(u_op)]
+    elif all(len(free(op)) == 1 for op in streams) \
+            and {next(iter(free(op))) for op in streams} == set(contracted):
+        # div: symmetric in (s, j) — larger letter = j (the inner dot)
+        a, b = streams
+        la, lb = next(iter(free(a))), next(iter(free(b)))
+        if int(e.index_to_dim_length[la]) >= int(e.index_to_dim_length[lb]):
+            u_op, J_op = a, b
         else:
-            u, jf = b, a
-        J, s_letter = (jf[0], (jf[1],)), jf[1]
+            u_op, J_op = b, a
     else:
         raise InvalidParameterError(
-            "dd kernel: unsupported operand structure (want matvec/mass/"
-            "div-family rows)")
-    j_letter = u[1]
-    if j_letter not in r_idx:
+            "dd kernel: unsupported operand structure (want the DG"
+            " matvec/mass/div/grad/curl/face family)")
+
+    j_cands = [ix for ix in free(u_op)
+               if ix in contracted
+               and (J_op is None or ix not in J_op[1])]
+    if len(j_cands) != 1:
         raise InvalidParameterError(
-            "dd kernel: streamed dof letter missing from the resident")
-    return u, R, J, s_letter, j_letter
+            "dd kernel: cannot identify the inner dot axis")
+    j_letter = j_cands[0]
+    s_cands = [ix for ix in contracted if ix != j_letter]
+    s_letter = s_cands[0] if s_cands else None
+    # every letter must now be accounted for
+    u_extra = free(u_op) - {j_letter, s_letter}
+    j_extra = (free(J_op) - {x_letter, s_letter}) if J_op else set()
+    if u_extra or j_extra:
+        raise InvalidParameterError(
+            f"dd kernel: unrecognized operand axes {u_extra | j_extra}")
+    if x_letter is not None and (J_op is None or x_letter not in J_op[1]):
+        raise InvalidParameterError(
+            "dd kernel: the extra output axis must be carried by the"
+            " streamed factor")
+    return _RowPlan(
+        u_op[0], u_op[1], R, r_idx,
+        J_op[0] if J_op else None, J_op[1] if J_op else (),
+        s_letter, j_letter, x_letter, s_letter in u_op[1])
 
 
 def build_dd_executable(program, index_to_length: dict):
     """Compile the dd-pair fused kernel; returns ``fn(arrays) -> tuple`` of
-    (2, d_i, E)-pair outputs (dof-major storage contract).  All operands
-    must be stored as f32 pairs with the pair axis LEADING and the long
-    axis TRAILING (dof-major): u (2, d_j, E), R (2, [s,] d_i, d_j),
-    J (2, [s,] E)."""
+    (2, [d_x,] d_i, E)-pair outputs (dof-major storage contract).  All
+    operands must be stored as f32 pairs with the pair axis LEADING and the
+    long axis TRAILING (dof-major): u (2, [s,] d_j, E),
+    R (2, [s,] d_i, d_j), F (2, [x,] [s,] E)."""
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -192,8 +249,11 @@ def build_dd_executable(program, index_to_length: dict):
                     if isinstance(ln, SizeParam)]
     el = long_letters[0]
     L = int(lengths[el])
-    i_letter = e.out_idx_set[1]
+    out_idx = tuple(e.out_idx_set)
+    i_letter = out_idx[-1]
     d_i = int(lengths[i_letter])
+    x_letter = rows[0].x_letter
+    d_x = int(lengths[x_letter]) if x_letter is not None else 0
     block = int(min(desc.block_long, L))
     grid = (-(-L // block),)    # cdiv: pallas masks the partial tail block
 
@@ -217,80 +277,148 @@ def build_dd_executable(program, index_to_length: dict):
                 imap.append(0)
         return tuple(shape), imap
 
-    in_specs, full_shapes = [], []
+    # the STORED axis order of each operand = its canonical index order
+    # permuted by the descriptor's arg_layouts (dofmajor_layouts may also
+    # reorder residents) — the emitter must mirror _apply_layouts exactly
+    layouts_map = dict(desc.arg_layouts_map or {})
+    stored_of = {}
     for name in names:
         idx = arg_of[name]
-        # dof-major storage: long axis trailing
-        stored = tuple([ix for ix in idx if ix != el]
-                       + ([el] if el in idx else []))
+        perm = layouts_map.get(name)
+        stored_of[name] = (tuple(idx[p] for p in perm)
+                           if perm is not None else tuple(idx))
+        if el in idx and stored_of[name][-1] != el:
+            raise InvalidParameterError(
+                f"dd kernel: streamed operand {name} must store the long"
+                f" axis trailing (got {stored_of[name]})")
+
+    in_specs, full_shapes = [], []
+    for name in names:
+        stored = stored_of[name]
         shape, imap = stored_block(stored)
         in_specs.append(pl.BlockSpec(
             shape, (lambda g, _m=tuple(imap): tuple(
                 g if v == "g" else v for v in _m))))
         full_shapes.append((2,) + tuple(
             int(lengths[ix]) if ix != el else L for ix in stored))
-    out_block = (2, d_i, block)
-    out_specs = [pl.BlockSpec(out_block, lambda g: (0, 0, g))
-                 for _ in range(e.b)]
-
-    stored_of = {}
-    for name in names:
-        idx = arg_of[name]
-        stored_of[name] = tuple([ix for ix in idx if ix != el]
-                                + ([el] if el in idx else []))
+    if x_letter is not None:
+        out_block = (2, d_x, d_i, block)
+        out_specs = [pl.BlockSpec(out_block, lambda g: (0, 0, 0, g))
+                     for _ in range(e.b)]
+    else:
+        out_block = (2, d_i, block)
+        out_specs = [pl.BlockSpec(out_block, lambda g: (0, 0, g))
+                     for _ in range(e.b)]
 
     def kernel(*refs):
         ins = refs[:len(names)]
         outs = refs[len(names):]
         vals = {n: r[...] for n, r in zip(names, ins)}
-        for r, (u, R, J, s_letter, j_letter) in enumerate(rows):
-            u_name = u[0].name
-            r_name = R[0].name
-            r_idx = tuple(R[1])
-            d_j = int(lengths[j_letter])
-            n_s = int(lengths[s_letter]) if s_letter is not None else 1
-            uv = vals[u_name]                 # (2, d_j, B)
-            rv = vals[r_name]                 # (2, stored resident dims)
-            jv = vals[J[0].name] if J is not None else None
-            # resident stored axis order (no long axis): bring to (s?, i, j)
-            want = tuple(ix for ix in ((s_letter,) if s_letter else ())
-                         ) + (i_letter, j_letter)
-            if r_idx != want:
-                perm = (0,) + tuple(1 + r_idx.index(ix) for ix in want)
-                rv = rv.transpose(perm)
+
+        def aligned(name, want):
+            """The operand's block brought to the kernel-canonical axis
+            order *want* (letters, pair axis implicit first)."""
+            cur = stored_of[name]
+            val = vals[name]
+            if cur == tuple(want):
+                return val
+            perm = (0,) + tuple(1 + cur.index(ix) for ix in want)
+            return val.transpose(perm)
+
+        for r, plan in enumerate(rows):
+            d_j = int(lengths[plan.j_letter])
+            n_s = (int(lengths[plan.s_letter])
+                   if plan.s_letter is not None else 1)
+            uv = aligned(plan.u.name,
+                         (((plan.s_letter,) if plan.u_has_s else ())
+                          + (plan.j_letter, el)))   # (2, [s,] d_j, B)
+            rv = aligned(plan.R.name,
+                         (((plan.s_letter,)
+                           if plan.s_letter is not None else ())
+                          + (i_letter, plan.j_letter)))  # (2, [s,] d_i, d_j)
+            j_has_s = plan.J is not None and plan.s_letter in plan.j_idx
+            has_x = plan.x_letter is not None
+            jv = None
+            if plan.J is not None:
+                jv = aligned(plan.J.name,
+                             (((plan.x_letter,) if has_x else ())
+                              + ((plan.s_letter,) if j_has_s else ())
+                              + (el,)))             # (2, [x,] [s,] B)
             # hoist the Veltkamp splits: once per block instead of per MAC
-            u_h1, u_h2 = _split(uv[0])
-            acc_h = acc_l = None
+            if not plan.u_has_s:
+                u_h1, u_h2 = _split(uv[0])
+            # stage 1: V_s[i, :] = sum_j R[s?, i, j] * u[s?, j, :] in dd —
+            # independent of x, so grad's x loop reuses them
+            V = []
             for s in range(n_s):
-                r_s = rv[:, s] if s_letter is not None else rv  # (2,d_i,d_j)
+                r_s = rv[:, s] if plan.s_letter is not None else rv
                 r_h1, r_h2 = _split(r_s[0])
-                # V[i, :] = sum_j R[i, j] * u[j, :]  in dd
+                if plan.u_has_s:
+                    us = uv[:, s]
+                    us_h1, us_h2 = _split(us[0])
+                else:
+                    us, us_h1, us_h2 = uv, u_h1, u_h2
                 vh = vl = None
                 for j in range(d_j):
                     th, tl = dd_mul_presplit(
                         r_s[0, :, j:j + 1], r_h1[:, j:j + 1],
                         r_h2[:, j:j + 1], r_s[1, :, j:j + 1],
-                        uv[0, j:j + 1, :], u_h1[j:j + 1, :],
-                        u_h2[j:j + 1, :], uv[1, j:j + 1, :])
+                        us[0, j:j + 1, :], us_h1[j:j + 1, :],
+                        us_h2[j:j + 1, :], us[1, j:j + 1, :])
                     if vh is None:
                         vh, vl = th, tl
                     else:
                         vh, vl = dd_add(vh, vl, th, tl)
-                if jv is not None:
-                    if s_letter is not None:
-                        fh, fl = jv[0, s:s + 1, :], jv[1, s:s + 1, :]
-                    else:                     # jv (2, B): rows broadcast
-                        fh, fl = jv[0:1, :], jv[1:2, :]
-                    vh, vl = dd_mul(vh, vl, fh, fl)
-                if acc_h is None:
-                    acc_h, acc_l = vh, vl
-                else:
-                    acc_h, acc_l = dd_add(acc_h, acc_l, vh, vl)
-            outs[r][0, :, :] = acc_h
-            outs[r][1, :, :] = acc_l
+                V.append((vh, vl))
+
+            def ssum(pairs):
+                ah = al = None
+                for vh, vl in pairs:
+                    if ah is None:
+                        ah, al = vh, vl
+                    else:
+                        ah, al = dd_add(ah, al, vh, vl)
+                return ah, al
+
+            # stage 2: apply the streamed factor and reduce s per output
+            if plan.J is None:
+                acc_h, acc_l = ssum(V)
+                outs[r][0, :, :] = acc_h
+                outs[r][1, :, :] = acc_l
+            elif not has_x and not j_has_s:
+                # mass/curl: one (e,) factor — cheaper AFTER the s-sum
+                acc_h, acc_l = ssum(V)
+                acc_h, acc_l = dd_mul(acc_h, acc_l,
+                                      jv[0:1, :], jv[1:2, :])
+                outs[r][0, :, :] = acc_h
+                outs[r][1, :, :] = acc_l
+            else:
+                for x in range(d_x or 1):
+                    terms = []
+                    for s in range(n_s):
+                        if has_x and j_has_s:
+                            fh = jv[0, x, s:s + 1, :]
+                            fl = jv[1, x, s:s + 1, :]
+                        elif has_x:
+                            fh = jv[0, x:x + 1, :]
+                            fl = jv[1, x:x + 1, :]
+                        else:
+                            fh = jv[0, s:s + 1, :]
+                            fl = jv[1, s:s + 1, :]
+                        vh, vl = V[s]
+                        terms.append(dd_mul(vh, vl, fh, fl))
+                    acc_h, acc_l = ssum(terms)
+                    if has_x:
+                        outs[r][0, x, :, :] = acc_h
+                        outs[r][1, x, :, :] = acc_l
+                    else:
+                        outs[r][0, :, :] = acc_h
+                        outs[r][1, :, :] = acc_l
 
     import jax.numpy as jnp
-    out_shapes = [jax.ShapeDtypeStruct((2, d_i, L), jnp.float32)
+    out_shape_core = ((2, d_x, d_i, L) if x_letter is not None
+                      else (2, d_i, L))
+    out_shapes = [jax.ShapeDtypeStruct(out_shape_core, jnp.float32)
                   for _ in range(e.b)]
     interpret = desc.interpret
     if interpret is None:

@@ -100,8 +100,10 @@ run 1500 python scripts/tune_small_ndof.py face 600
 run 1500 python scripts/tune_small_ndof.py mass 600
 run 1300 python scripts/tune_small_ndof.py copy 400
 
-# 9: dd fp64 (pure-f32 Mosaic: does NOT poison the compile helpers)
+# 9: dd fp64 (pure-f32 Mosaic: does NOT poison the compile helpers);
+# grad covers the new bench fp64 evidence row
 run 2700 python scripts/tune_dd.py div 1800
+run 1500 python scripts/tune_dd.py grad 800
 
 # 10: tc_pallas_v0 evidence (VERDICT #4a) — enumerated, not random: the
 # guarded space has only 0-8 valid points per benchmark

@@ -4,7 +4,7 @@ Safe for the compile helpers: the dd kernel is pure-f32 Mosaic — the
 HTTP-500 poison came from XLA's giant f64-emulation modules, which this
 route never compiles.
 
-Usage: python scripts/tune_dd.py [div|mass|matvec] [seconds-budget]
+Usage: python scripts/tune_dd.py [div|mass|matvec|grad|face] [seconds-budget]
 """
 import sys
 import time
@@ -35,6 +35,16 @@ def make(which):
     if which == "matvec":
         return f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float64"),
                         f.array("D", (20, 20), "float64"))
+    if which == "grad":
+        return f.einsum("xre,rij,ej->xei",
+                        f.array("J", (3, 3, "E"), "float64"),
+                        f.array("D", (3, 35, 35), "float64"),
+                        f.array("u", ("E", 35), "float64"))
+    if which == "face":
+        return f.einsum("ifj,fe,fej->ei",
+                        f.array("L", (35, 4, 15), "float64"),
+                        f.array("Fj", (4, "E"), "float64"),
+                        f.array("flux", (4, "E", 15), "float64"))
     raise SystemExit(f"unknown class {which}")
 
 

@@ -59,9 +59,41 @@ def test_dd_rejects_f32_and_foreign_shapes():
                    f.array("D", (8, 8), "float32"))
     with pytest.raises(InvalidParameterError, match="fp64"):
         sp.bind_args(e32, log2_block=10)(f.generate_program(e32))
-    face = f.einsum("ifj,fe,fej->ei",
-                    f.array("L", (8, 4, 6), "float64"),
-                    f.array("F", (4, "E"), "float64"),
-                    f.array("flux", (4, "E", 6), "float64"))
+    # two residents: outside the family (face itself is supported now)
+    two_res = f.einsum("ej,ik,kj->ei",
+                       f.array("u", ("E", 6), "float64"),
+                       f.array("A", (8, 5), "float64"),
+                       f.array("B", (5, 6), "float64"))
     with pytest.raises(InvalidParameterError):
-        sp.bind_args(face, log2_block=10)(f.generate_program(face))
+        sp.bind_args(two_res, log2_block=10)(f.generate_program(two_res))
+
+
+@pytest.mark.parametrize("subs,arrays", [
+    # grad: extra static output axis carried by the streamed factor
+    ("xre,rij,ej->xei", [("J", (3, 3, "E")), ("D", (3, 9, 9)),
+                         ("u", ("E", 9))]),
+    # face_mass: the streamed dof operand itself carries the s axis
+    ("ifj,fe,fej->ei", [("L", (9, 4, 6)), ("Fj", (4, "E")),
+                        ("flux", (4, "E", 6))]),
+])
+def test_dd_grad_and_face_families_validate_at_1em12(subs, arrays):
+    """r3: the dd kernel covers the FULL reference DG fp64 family —
+    out[x?,e,i] = sum_s F[x?,s?,e] * sum_j R[s?,i,j] * u[s?,e,j]."""
+    e = f.einsum(subs, *[f.array(n, s, "float64") for n, s in arrays])
+    sp = get_transform_func_from_module_path("dd_pallas_v0")
+    tr = sp.bind_args(e, log2_block=10, parallel_grid=True)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=1000)
+
+
+def test_dd_curl_family_validates_at_1em12():
+    """curl-style rows: the resident's extra axis is summed inside the
+    kernel (no streamed partner for s)."""
+    e = f.batched_einsum(
+        "e,rij,ej->ei",
+        [[f.array(j, ("E",), "float64"),
+          f.array("D", (3, 9, 9), "float64"),
+          f.array(u, ("E", 9), "float64")]
+         for j, u in [("Jy", "uz"), ("Jz", "ux")]])
+    sp = get_transform_func_from_module_path("dd_pallas_v0")
+    tr = sp.bind_args(e, log2_block=10, parallel_grid=True)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=1000)
