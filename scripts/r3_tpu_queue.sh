@@ -138,4 +138,26 @@ echo "=== [retire] rc=$? $(date '+%T')" | tee -a $LOG
 # driver's capture is fast + green; f64 runs last inside bench itself)
 run 5400 python bench.py
 
+# opportunistic: fill any window left before the deadline with extra
+# tuning cycles on the weakest rows.  Safe for the driver's capture:
+# autotune compiles every measured config at the bench shapes (E=1M)
+# into the SHARED persistent compile cache, so any new champion is warm.
+while [ "$DEADLINE" -gt 0 ] \
+        && [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ]; do
+    for cls in matvec div4 grad4 div10 grad10 face mass div20 grad20; do
+        [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ] || break
+        # a mid-loop wedge must not burn the rest of the window 1400 s
+        # at a time: cheap bounded probe first
+        if ! timeout 240 python -c "import jax; jax.devices()" \
+                >/dev/null 2>&1; then
+            echo "=== [opportunistic] relay down; stopping" | tee -a $LOG
+            break 2
+        fi
+        echo "=== [opportunistic] $(date '+%T') $cls" | tee -a $LOG
+        timeout 1400 python scripts/tune_small_ndof.py "$cls" 700 \
+            >> $LOG 2>&1
+        echo "=== [opportunistic] rc=$? $(date '+%T')" | tee -a $LOG
+    done
+done
+
 echo "=== QUEUE DONE $(date '+%T')" | tee -a $LOG
