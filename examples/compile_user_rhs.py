@@ -1,7 +1,8 @@
 """One-call consumer flow: a DG right-hand side written as plain
 ``jnp.einsum`` calls — componentwise divergence (three einsums, one
 negated) plus a face lift, with an affine-rescaled jacobian (an operand
-*expression*) — compiled against the transform archive in one call.
+*expression*) and a traced ``dt`` scalar factor — compiled against the
+transform archive in one call.
 
 The componentwise div instructions group into a single b=3 batched plan
 (hitting the archive's batched-div champion); the ``2*J + 1`` expression
@@ -30,16 +31,18 @@ ux, uy, uz = rand(E, ndof), rand(E, ndof), rand(E, ndof)
 L, Fj, flux = rand(ndof, nf, nfdof), rand(nf, E), rand(nf, E, nfdof)
 
 
-def user_rhs(Jx, Jy, Jz, R, ux, uy, uz, L, Fj, flux):
+def user_rhs(dt, Jx, Jy, Jz, R, ux, uy, uz, L, Fj, flux):
     # componentwise divergence; the z-jacobian arrives affine-rescaled
     div = (jnp.einsum("es,sij,ej->ei", Jx, R, ux)
            + jnp.einsum("es,sij,ej->ei", Jy, R, uy)
            - jnp.einsum("es,sij,ej->ei", 2.0 * Jz + 1.0, R, uz))
     lift = jnp.einsum("ifj,fe,fej->ei", L, Fj, flux)
-    return div - 0.5 * lift
+    # the traced time-step factor is captured as InsnInfo.scale_vars and
+    # re-applied per instruction at call time
+    return dt * (div - 0.5 * lift)
 
 
-args = [Jx, Jy, Jz, R, ux, uy, uz, L, Fj, flux]
+args = [jnp.float32(0.125), Jx, Jy, Jz, R, ux, uy, uz, L, Fj, flux]
 rhs = f.compile_fn_with_archive(user_rhs, args,
                                 long_dim_length=1000)
 
