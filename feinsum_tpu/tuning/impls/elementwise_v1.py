@@ -2,7 +2,7 @@
 Schedule space for bandwidth-bound kernels over one long axis — v1 adds the
 dof-major layout knob (XLA:TPU tiles (E, ndof) HBM arrays to (8,128),
 padding short lane dims ~3.7x; rotating the long axis onto lanes recovers
-it).  Supersedes elementwise_v0 (whose recorded facts remain replayable).
+it).  Supersedes the retired elementwise_v0 (no archived fact ever referenced it).
 """
 
 from __future__ import annotations

@@ -109,6 +109,11 @@ run 1500 python scripts/tune_dd.py grad 800
 # guarded space has only 0-8 valid points per benchmark
 run 2400 python scripts/tune_tc_pallas.py 1500
 
+# ttgt_v1 evidence (structured-permutation space must not ship with zero
+# facts): seeded from each class's v0 champion, short structured search
+run 1200 python scripts/tune_ttgt_v1.py 12 400
+run 1200 python scripts/tune_ttgt_v1.py 5 400
+
 # 11: re-validate the archive under proto3 (one process per class inside;
 # ends with the untagged-over-reporter retire pass) — VERDICT r2 #2.
 # Self-limiting: the class loop stops when QUEUE_DEADLINE leaves no room

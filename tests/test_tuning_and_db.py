@@ -59,7 +59,7 @@ def test_decorators_build_parametrized_transform():
 
 def test_impl_modules_load():
     for name in ("dg_div_v0", "dg_grad_v0", "face_mass_v0",
-                 "elementwise_v0", "mass_v0", "tc_xla_v0",
+                 "elementwise_v1", "mass_v0", "tc_xla_v0",
                  "demo_transform_space"):
         pt = get_transform_func_from_module_path(name)
         assert pt.transform_params
