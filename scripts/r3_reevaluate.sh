@@ -44,12 +44,28 @@ for s in seen:
 EOF
 echo "$(wc -l < /tmp/r3_classes.txt) classes to re-time" | tee -a $LOG
 
-# QUEUE_DEADLINE (epoch secs, optional): stop starting classes when no
-# room remains for a full 1500 s class — a clean exit here is what lets
-# the caller avoid SIGTERM-ing a mid-compile process (wedge risk)
+# QUEUE_DEADLINE (epoch secs) / REEVAL_WINDOW (seconds from NOW): stop
+# starting classes when no room remains for a full 1500 s class — a clean
+# exit here is what lets the caller avoid SIGTERM-ing a mid-compile
+# process (wedge risk).  REEVAL_WINDOW is measured from this script's own
+# start (the caller's wait_up may have eaten hours before it launched us).
 QD=${QUEUE_DEADLINE:-0}
+if [ "${REEVAL_WINDOW:-0}" -gt 0 ]; then
+    W=$(($(date +%s) + REEVAL_WINDOW))
+    if [ "$QD" -eq 0 ] || [ "$W" -lt "$QD" ]; then
+        QD=$W
+    fi
+fi
+# resumable across invocations: completed classes are recorded here, so
+# an early bounded pass (priority classes) and the later full pass never
+# re-time the same class twice
+DONE=/tmp/r3_reeval_done.txt
+touch $DONE
 
 while IFS= read -r subs; do
+    if grep -qxF "$subs" $DONE; then
+        continue
+    fi
     if [ "$QD" -gt 0 ] && [ $(($(date +%s) + 1600)) -gt "$QD" ]; then
         echo "=== $(date '+%T') deadline; stopping before [$subs]" \
             | tee -a $LOG
@@ -65,7 +81,9 @@ while IFS= read -r subs; do
     timeout 1500 python feinsum_tpu/data/bin/reevaluate_best_k_configurations.py \
         --dst "$DB" -k 2 --skip-dtypes float64 \
         --only-subscripts "$subs" --long-dim-length 1000000 >> $LOG 2>&1
-    echo "=== rc=$?" | tee -a $LOG
+    rc=$?
+    echo "=== rc=$rc" | tee -a $LOG
+    [ $rc -eq 0 ] && echo "$subs" >> $DONE
 done < /tmp/r3_classes.txt
 
 # retire untagged over-reporters (CPU, sqlite only)

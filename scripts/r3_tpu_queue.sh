@@ -83,6 +83,14 @@ run 5400 python bench.py
 run 2700 python scripts/tune_lane_pack.py matvec 1800
 run 1900 python scripts/tune_lane_pack.py vecmat 1000
 
+# 4: EARLY bounded reevaluate pass (VERDICT #2 is priority #2 after the
+# green bench): ~70 min over the priority classes, self-limited from its
+# own start time.  Resumable — the done-file means the full pass below
+# never re-times these.
+export REEVAL_WINDOW=4200
+run 6000 bash scripts/r3_reevaluate.sh
+unset REEVAL_WINDOW
+
 # 3-8: small-ndof retune under the consolidated space (+ the uncovered
 # single-output div class)
 run 1500 python scripts/tune_small_ndof.py div_single 600
