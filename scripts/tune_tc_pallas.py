@@ -30,7 +30,12 @@ def main():
     t0 = time.time()
     for idx in ids:
         e = f.get_tccg_benchmark(idx, dtype="float32")
-        space = sp.get_param_space(e)
+        try:
+            space = sp.get_param_space(e)
+        except Exception as ex:  # noqa: BLE001
+            print(f"tccg_{idx:02d}: space rejected"
+                  f" ({type(ex).__name__}: {str(ex)[:120]})", flush=True)
+            continue
         n_valid = 0
         for ng in range(space["n_grid"].low, space["n_grid"].high + 1):
             for pi in (0, 1):
