@@ -145,11 +145,13 @@ def fp64_suite():
     subprocess exit 1 — observed twice, bench r2b/r2c: all post-fp64 rows
     failed while persistent-cache hits sailed through), so nothing that
     still needs a compile may run after it."""
-    return [("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6),
-            # dd-kernel coverage row (pure-f32 Mosaic, safe to compile);
-            # runs LAST: if its dd candidate fails and it falls to a fresh
-            # XLA-f64 compile, the sick helpers can no longer hurt anything
-            ("dg_grad_ndof35_fp64", make_grad(35, "float64"), 2002.4)]
+    # grad FIRST: its only candidates are fresh compiles (dd Mosaic, then
+    # XLA-f64 fallback) — if div ran first and fell back to XLA-f64, the
+    # sick compile helpers would kill every fresh grad compile.  div
+    # SECOND survives either way: its archived champion is warm in the
+    # persistent cache, and cache hits sail through sick helpers.
+    return [("dg_grad_ndof35_fp64", make_grad(35, "float64"), 2002.4),
+            ("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6)]
 
 # }}}
 

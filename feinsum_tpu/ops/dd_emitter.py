@@ -279,18 +279,22 @@ def build_dd_executable(program, index_to_length: dict):
 
     # the STORED axis order of each operand = its canonical index order
     # permuted by the descriptor's arg_layouts (dofmajor_layouts may also
-    # reorder residents) — the emitter must mirror _apply_layouts exactly
-    layouts_map = dict(desc.arg_layouts_map or {})
-    stored_of = {}
+    # reorder residents) — shared helper so the emitter mirrors
+    # _apply_layouts STRUCTURALLY, not by a second copy of the mapping
+    from .layouts import stored_arg_layouts
+    stored_of = stored_arg_layouts(program)
     for name in names:
-        idx = arg_of[name]
-        perm = layouts_map.get(name)
-        stored_of[name] = (tuple(idx[p] for p in perm)
-                           if perm is not None else tuple(idx))
-        if el in idx and stored_of[name][-1] != el:
+        if el in arg_of[name] and stored_of[name][-1] != el:
             raise InvalidParameterError(
                 f"dd kernel: streamed operand {name} must store the long"
                 f" axis trailing (got {stored_of[name]})")
+    # the output contract is equally load-bearing: the kernel writes
+    # (2, [d_x,] d_i, B), i.e. the dof-major rotate of the logical output
+    want_out = ((0, 2, 1) if x_letter is not None else (1, 0))
+    if tuple(desc.out_layout or ()) != want_out:
+        raise InvalidParameterError(
+            f"dd kernel: out_layout must be the dof-major rotate"
+            f" {want_out} (got {desc.out_layout})")
 
     in_specs, full_shapes = [], []
     for name in names:
@@ -347,10 +351,8 @@ def build_dd_executable(program, index_to_length: dict):
             # hoist the Veltkamp splits: once per block instead of per MAC
             if not plan.u_has_s:
                 u_h1, u_h2 = _split(uv[0])
-            # stage 1: V_s[i, :] = sum_j R[s?, i, j] * u[s?, j, :] in dd —
-            # independent of x, so grad's x loop reuses them
-            V = []
-            for s in range(n_s):
+            def j_dot(s):
+                """V_s[i, :] = sum_j R[s?, i, j] * u[s?, j, :] in dd."""
                 r_s = rv[:, s] if plan.s_letter is not None else rv
                 r_h1, r_h2 = _split(r_s[0])
                 if plan.u_has_s:
@@ -369,51 +371,55 @@ def build_dd_executable(program, index_to_length: dict):
                         vh, vl = th, tl
                     else:
                         vh, vl = dd_add(vh, vl, th, tl)
-                V.append((vh, vl))
+                return vh, vl
 
-            def ssum(pairs):
-                ah = al = None
-                for vh, vl in pairs:
-                    if ah is None:
-                        ah, al = vh, vl
-                    else:
-                        ah, al = dd_add(ah, al, vh, vl)
-                return ah, al
-
-            # stage 2: apply the streamed factor and reduce s per output
-            if plan.J is None:
-                acc_h, acc_l = ssum(V)
-                outs[r][0, :, :] = acc_h
-                outs[r][1, :, :] = acc_l
-            elif not has_x and not j_has_s:
-                # mass/curl: one (e,) factor — cheaper AFTER the s-sum
-                acc_h, acc_l = ssum(V)
-                acc_h, acc_l = dd_mul(acc_h, acc_l,
-                                      jv[0:1, :], jv[1:2, :])
-                outs[r][0, :, :] = acc_h
-                outs[r][1, :, :] = acc_l
-            else:
-                for x in range(d_x or 1):
-                    terms = []
+            if has_x:
+                # grad: the j-dots are independent of x, but REUSING their
+                # values across the x outputs miscompiles under the
+                # interpret path at grid >= 2 (XLA:CPU emits a
+                # value-changing transform on the shared EFT subgraph:
+                # scattered 1-2-ulp hi errors, kernel vs a strict-IEEE
+                # numpy replica of the same op order; optimization_barrier
+                # and stacking do NOT fix it, recomputation does —
+                # 2026-08-18 standalone repro).  Recompute per x: pure ops
+                # the backend may CSE back itself, and every archive
+                # record re-validates at 1e-12 on the target anyway.
+                for x in range(d_x):
+                    acc_h = acc_l = None
                     for s in range(n_s):
-                        if has_x and j_has_s:
+                        if j_has_s:
                             fh = jv[0, x, s:s + 1, :]
                             fl = jv[1, x, s:s + 1, :]
-                        elif has_x:
+                        else:
                             fh = jv[0, x:x + 1, :]
                             fl = jv[1, x:x + 1, :]
+                        vh, vl = j_dot(s)
+                        th, tl = dd_mul(vh, vl, fh, fl)
+                        if acc_h is None:
+                            acc_h, acc_l = th, tl
                         else:
-                            fh = jv[0, s:s + 1, :]
-                            fl = jv[1, s:s + 1, :]
-                        vh, vl = V[s]
-                        terms.append(dd_mul(vh, vl, fh, fl))
-                    acc_h, acc_l = ssum(terms)
-                    if has_x:
-                        outs[r][0, x, :, :] = acc_h
-                        outs[r][1, x, :, :] = acc_l
+                            acc_h, acc_l = dd_add(acc_h, acc_l, th, tl)
+                    outs[r][0, x, :, :] = acc_h
+                    outs[r][1, x, :, :] = acc_l
+            else:
+                # fused single pass: one live accumulator (matches the
+                # VMEM footprint guard_vmem models)
+                acc_h = acc_l = None
+                for s in range(n_s):
+                    vh, vl = j_dot(s)
+                    if j_has_s:       # div/face: per-s streamed factor
+                        vh, vl = dd_mul(vh, vl, jv[0, s:s + 1, :],
+                                        jv[1, s:s + 1, :])
+                    if acc_h is None:
+                        acc_h, acc_l = vh, vl
                     else:
-                        outs[r][0, :, :] = acc_h
-                        outs[r][1, :, :] = acc_l
+                        acc_h, acc_l = dd_add(acc_h, acc_l, vh, vl)
+                if jv is not None and not j_has_s:
+                    # mass/curl: one (e,) factor — cheaper AFTER the s-sum
+                    acc_h, acc_l = dd_mul(acc_h, acc_l,
+                                          jv[0:1, :], jv[1:2, :])
+                outs[r][0, :, :] = acc_h
+                outs[r][1, :, :] = acc_l
 
     import jax.numpy as jnp
     out_shape_core = ((2, d_x, d_i, L) if x_letter is not None

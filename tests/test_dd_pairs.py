@@ -97,3 +97,17 @@ def test_dd_curl_family_validates_at_1em12():
     sp = get_transform_func_from_module_path("dd_pallas_v0")
     tr = sp.bind_args(e, log2_block=10, parallel_grid=True)
     f.validate_batched_einsum_transform(e, tr, long_dim_length=1000)
+
+
+def test_dd_grad_multistep_grid_and_tail():
+    """Regression (r3): reusing the j-dot values across grad's x outputs
+    miscompiled under the interpret path at grid >= 2 (scattered 1-2-ulp
+    hi errors vs a strict-IEEE replica); the kernel now recomputes per x.
+    Also pins the masked partial tail of the 4D (2,d_x,d_i,block) output
+    (1000 % 512 != 0)."""
+    e = f.einsum("xre,rij,ej->xei", f.array("J", (3, 3, "E"), "float64"),
+                 f.array("D", (3, 4, 4), "float64"),
+                 f.array("u", ("E", 4), "float64"))
+    sp = get_transform_func_from_module_path("dd_pallas_v0")
+    tr = sp.bind_args(e, log2_block=9, parallel_grid=True)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=1000)
