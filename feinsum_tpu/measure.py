@@ -94,6 +94,12 @@ def generate_input_arrays(einsum: BatchedEinsum, *, long_dim_length: int,
     if as_numpy:
         return out
     import jax
+    if any(v.dtype in (np.float64, np.complex128) for v in out.values()):
+        # device_put silently downcasts f64 -> f32 while x64 is off; an
+        # executable build enables it as a side effect (program.py:132),
+        # but a caller generating inputs FIRST must not get f32 "f64"
+        if not jax.config.read("jax_enable_x64"):
+            jax.config.update("jax_enable_x64", True)
     return {k: jax.device_put(v) for k, v in out.items()}
 
 
