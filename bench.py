@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -48,6 +49,17 @@ E_BENCH = 1_000_000   # streaming regime: working sets >> VMEM
 # stale rather than producing no artifact at all (r2 lost its round to
 # exactly this: BENCH_r02.json = rc 3, parsed null).
 _LAST_GREEN = "/root/repo/.bench_last_green.json"
+
+# BENCH_DEADLINE (unix ts): set by the queue runner when the relay window
+# is shorter than a full run.  Bench then self-limits by exiting CLEANLY
+# between rows/sections — never SIGTERM'd mid-compile, which has wedged
+# the relay for 8 h before (CLAUDE.md relay ops).  The driver's own
+# capture never sets it, so default behavior is unchanged.
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE", "0") or 0.0)
+
+
+def past_deadline(margin: float = 0.0) -> bool:
+    return _DEADLINE > 0 and time.time() + margin >= _DEADLINE
 
 
 def log(*args):
@@ -310,6 +322,13 @@ def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH,
 
     dt = arrays = fn = last_ex = None
     for label, transform in candidate_transforms(name, einsum):
+        if past_deadline():
+            if last_ex is None:
+                last_ex = RuntimeError(
+                    "BENCH_DEADLINE reached before the first candidate")
+            log(f"{name}: BENCH_DEADLINE reached mid-ladder; giving up on"
+                f" this row")
+            break
         try:
             dt, arrays, fn = attempt(transform)
             log(f"{name}: measured via {label}")
@@ -367,6 +386,10 @@ def reference_roofline_fraction(einsum, ref_gops):
 def run_headline(device_key):
     ours, refs = [], []
     for name, einsum, ref_gops in suite():
+        if past_deadline():
+            log(f"BENCH_DEADLINE reached; stopping the headline after"
+                f" {len(ours)} rows")
+            break
         try:
             rate, frac = measure_row(name, einsum, device_key,
                                      accounting=True)
@@ -384,6 +407,9 @@ def run_headline(device_key):
 
 def _run_rows(rows, device_key):
     for name, einsum, ref_gops in rows:
+        if past_deadline():
+            log("BENCH_DEADLINE reached; stopping this section")
+            return
         try:
             rate, frac = measure_row(name, einsum, device_key,
                                      accounting=True)
@@ -416,6 +442,9 @@ TCCG_SAMPLE = (2, 5, 12, 21, 35, 43)
 def run_tccg(device_key):
     log("--- TCCG sample (dense tensor contractions, fp32) ---")
     for idx in TCCG_SAMPLE:
+        if past_deadline():
+            log("BENCH_DEADLINE reached; stopping the TCCG section")
+            return
         einsum = f.get_tccg_benchmark(idx, dtype="float32")
         try:
             rate, frac = measure_row(f"tccg_{idx:02d}", einsum, device_key,
@@ -468,6 +497,10 @@ def _probe_backend(attempts: int = 8, probe_timeout: int = 150) -> None:
         except Exception:  # noqa: BLE001
             if i + 1 == attempts:
                 break
+            if past_deadline(float(probe_timeout) + 120.0):
+                log("BENCH_DEADLINE leaves no room for another backend"
+                    " probe; stopping early")
+                break
             log(f"TPU backend probe {i + 1}/{attempts} failed"
                 f" (relay down?); retrying in 120 s")
             time.sleep(120)
@@ -475,24 +508,33 @@ def _probe_backend(attempts: int = 8, probe_timeout: int = 150) -> None:
     # clearly marked: the judge can distinguish a live capture (no
     # stale_cache key) from this fallback, but a marked stale number beats
     # a missing artifact.
-    try:
-        with open(_LAST_GREEN) as fh:
-            cached = json.load(fh)
-        line = dict(cached["line"])
-        line["stale_cache"] = True
-        line["captured_at"] = cached["captured_at"]
-        log("TPU backend unreachable after the full probe window; emitting"
-            f" the LAST GREEN result (captured {cached['captured_at']}),"
-            " marked stale_cache=true.  This is NOT a live measurement.")
-        print(json.dumps(line))
+    if _emit_stale_line("TPU backend unreachable after the full probe"
+                        " window"):
         sys.exit(0)
-    except FileNotFoundError:
-        pass
-    except Exception as ex:  # noqa: BLE001
-        log(f"stale-cache fallback failed: {type(ex).__name__}: {ex}")
     log("TPU backend unreachable; aborting bench (no JSON line rather"
         " than a 0 score or a 25-minute hang)")
     sys.exit(3)
+
+
+def _emit_stale_line(reason: str) -> bool:
+    """Print the last green headline line marked ``stale_cache`` (True) or
+    report that no green run is cached (False)."""
+    try:
+        with open(_LAST_GREEN) as fh:
+            cached = json.load(fh)
+    except FileNotFoundError:
+        return False
+    except Exception as ex:  # noqa: BLE001
+        log(f"stale-cache fallback failed: {type(ex).__name__}: {ex}")
+        return False
+    line = dict(cached["line"])
+    line["stale_cache"] = True
+    line["captured_at"] = cached["captured_at"]
+    log(f"{reason}; emitting the LAST GREEN result (captured"
+        f" {cached['captured_at']}), marked stale_cache=true."
+        " This is NOT a live measurement.")
+    print(json.dumps(line))
+    return True
 
 
 def main() -> None:
@@ -511,6 +553,14 @@ def main() -> None:
         "unit": "%roofline",
         "vs_baseline": round(vs_baseline, 3),
     }
+    if len(ours) < len(suite()):
+        # a deadline-truncated headline is an arbitrary subset: the
+        # full-suite stale line is the more honest artifact when cached
+        if past_deadline() and _emit_stale_line(
+                f"BENCH_DEADLINE truncated the headline at"
+                f" {len(ours)}/{len(suite())} rows"):
+            return
+        line["partial"] = f"{len(ours)}/{len(suite())}"
     print(json.dumps(line))
     # only a COMPLETE run may become the stale-outage fallback: a partial
     # run (mid-run relay wedge skips rows) or all-failed run (geomean 0)
@@ -529,6 +579,10 @@ def main() -> None:
 
     # evidence tables (stderr only; failures here never break the headline)
     for section in (run_extended, run_tccg, run_replay_latency, run_fp64):
+        if past_deadline():
+            log(f"BENCH_DEADLINE reached; skipping {section.__name__} and"
+                " later sections")
+            break
         try:
             if section is run_replay_latency:
                 section()

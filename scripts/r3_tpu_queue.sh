@@ -71,13 +71,37 @@ run() {
     step=$((step+1))
 }
 
+# bench with a window-adapted budget: a full run gets 5400 s; a LATE
+# relay window (remain < 5400) still runs bench, self-limited via
+# BENCH_DEADLINE (bench exits CLEANLY between rows — no SIGTERM
+# mid-compile; the 900 s gap below the hard budget absorbs one
+# worst-case in-flight compile).  Below 2400 s remaining a headline
+# can't finish even warm-cache: skip.
+run_bench() {
+    local remain=5400
+    if [ "$DEADLINE" -gt 0 ]; then
+        remain=$((DEADLINE - $(date +%s)))
+    fi
+    if [ "$remain" -ge 5400 ]; then
+        run 5400 python bench.py
+    elif [ "$remain" -ge 2400 ]; then
+        export BENCH_DEADLINE=$(($(date +%s) + remain - 900))
+        run "$remain" python bench.py
+        unset BENCH_DEADLINE
+    else
+        echo "=== [$step] SKIPPED bench (only ${remain}s before deadline)" \
+            | tee -a $LOG
+        step=$((step+1))
+    fi
+}
+
 # 0: probe (fast fail if relay is down again)
 run 300 python -c "import jax; print(jax.devices())"
 
 # 1: bench FIRST — if the relay window turns out short, a green
 # driver-verifiable bench (r2's missing artifact) beats everything else;
 # champions are warm in the persistent compile cache from r2
-run 5400 python bench.py
+run_bench
 
 # 2-3: lane_pack sweeps (new knob, VERDICT #3)
 run 2700 python scripts/tune_lane_pack.py matvec 1800
@@ -149,7 +173,7 @@ echo "=== [retire] rc=$? $(date '+%T')" | tee -a $LOG
 
 # 12: bench (warms every champion into the persistent compile cache so the
 # driver's capture is fast + green; f64 runs last inside bench itself)
-run 5400 python bench.py
+run_bench
 
 # opportunistic: fill any window left before the deadline with extra
 # tuning cycles on the weakest rows.  Safe for the driver's capture:

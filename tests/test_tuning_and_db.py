@@ -499,3 +499,58 @@ def test_bench_stale_cache_fallback(monkeypatch, tmp_path, capsys):
     assert emitted["value"] == 81.26
     assert emitted["stale_cache"] is True
     assert emitted["captured_at"] == "2026-08-17T18:27:00Z"
+
+
+def test_bench_deadline_self_limit(monkeypatch, tmp_path, capsys):
+    """BENCH_DEADLINE makes bench exit cleanly between rows (the queue's
+    short-relay-window mode): sections stop immediately, the probe loop
+    stops retrying, and a truncated headline prefers the marked stale line
+    over an arbitrary-subset geomean."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    import pytest
+    import subprocess
+
+    # no deadline (the driver's own capture): never limits
+    monkeypatch.setattr(bench, "_DEADLINE", 0.0)
+    assert not bench.past_deadline()
+    assert not bench.past_deadline(1e12)
+
+    # deadline in the past: every section loop returns before touching a row
+    monkeypatch.setattr(bench, "_DEADLINE", 1.0)
+    assert bench.past_deadline()
+    assert bench.run_headline("TPU_v5_lite") == ([], [])
+    bench._run_rows([("x", None, None)], "TPU_v5_lite")   # no TypeError:
+    # the row is never unpacked into measure_row
+
+    # probe loop: deadline stops the retry ladder after the first failure
+    # (no 120 s sleeps burning the window)
+    calls = []
+
+    def probe_fails(*a, **k):
+        calls.append(1)
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr("subprocess.run", probe_fails)
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: pytest.fail("slept past the deadline"))
+    cache = tmp_path / "green.json"
+    line = {"metric": "m", "value": 81.26, "unit": "%roofline",
+            "vs_baseline": 1.515}
+    cache.write_text(json.dumps(
+        {"line": line, "captured_at": "2026-08-17T18:27:00Z"}))
+    monkeypatch.setattr(bench, "_LAST_GREEN", str(cache))
+    with pytest.raises(SystemExit) as ei:
+        bench._probe_backend(attempts=8, probe_timeout=1)
+    assert ei.value.code == 0
+    assert len(calls) == 1
+    emitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert emitted["stale_cache"] is True
+
+    # _emit_stale_line: False (and no output) when no green run is cached
+    monkeypatch.setattr(bench, "_LAST_GREEN", str(tmp_path / "missing.json"))
+    assert bench._emit_stale_line("reason") is False
+    assert capsys.readouterr().out.strip() == ""
