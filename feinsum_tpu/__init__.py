@@ -65,6 +65,7 @@ from .matching import (
     match_t_unit_to_einsum,
 )
 from .measure import (
+    apply_layouts,
     get_giga_op_map,
     get_footprint_gbytes,
     get_roofline_flop_rate,
@@ -91,6 +92,7 @@ from .tuning import (
     einsum_arg,
     transform_param,
 )
+from .ops.layouts import unpack_output
 from .utils import IndexNameGenerator, get_tccg_benchmark
 
 __version__ = "0.1.0"
@@ -122,6 +124,7 @@ __all__ = (
     "TransformValidationError",
     "TupleParameter",
     "abstract_long_axes",
+    "apply_layouts",
     "array",
     "autotune",
     "batched_einsum",
@@ -162,5 +165,6 @@ __all__ = (
     "stringify_comparison_vs_roofline",
     "timeit",
     "transform_param",
+    "unpack_output",
     "validate_batched_einsum_transform",
 )

@@ -103,7 +103,18 @@ def generate_input_arrays(einsum: BatchedEinsum, *, long_dim_length: int,
     return {k: jax.device_put(v) for k, v in out.items()}
 
 
-def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
+def apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
+    """Pack logical (einsum-shaped) *arrays* into *program*'s declared HBM
+    storage contract — the calling convention of
+    :func:`~feinsum_tpu.build_executable`'s result when the descriptor
+    carries layout knobs (dofmajor/fold/preblock/lane_pack/rowcat/
+    pre_layouts/dd pairs).  Inverse on the output side:
+    :func:`feinsum_tpu.unpack_output`.  Public consumer-path API: the
+    reference's transforms rewrite the kernel in place so its calling
+    convention never changes (codegen/loopy.py); ours trade that for
+    measured HBM-layout wins, so replaying an archived champion by hand
+    (retrieve -> transform -> build_executable) needs this pair —
+    :func:`~feinsum_tpu.compile_fn_with_archive` applies them for you."""
     from .ops.layouts import apply_nested_layout, fold_arrays, preblock_arrays
 
     out = dict(arrays)
@@ -144,6 +155,10 @@ def _apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
             if np.dtype(arr.dtype) == np.float64:
                 out[name] = split_to_pairs(arr)
     return preblock_arrays(program, fold_arrays(program, out))
+
+
+# internal alias (pre-export name; all in-tree callers use it)
+_apply_layouts = apply_layouts
 
 # }}}
 

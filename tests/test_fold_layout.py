@@ -209,3 +209,25 @@ def test_unpack_output_inverts_each_contract():
     p = f.generate_program(e).with_descriptor()
     with pytest.raises(ValueError, match="does not match"):
         unpack_output(p, logical, (E, d + 1))
+
+
+def test_public_apply_layouts_unpack_output_roundtrip():
+    """The public consumer pair (f.apply_layouts / f.unpack_output): replay
+    a storage-contract champion by hand — pack logical inputs, run the
+    executable, unpack the stored output back to the logical shape."""
+    E, d = 128, 8
+    e = f.einsum("es,sij,ej->ei",
+                 f.array("J", ("E", 3), "float32"),
+                 f.array("R", (3, d, d), "float32"),
+                 f.array("u", ("E", d), "float32"))
+    prog = fused_pallas_program(
+        f.generate_program(e), block_long=E, hoist=False,
+        dofmajor=True, fold=True)
+    fn = f.build_executable(prog, long_dim_length=E)
+    from feinsum_tpu.measure import generate_input_arrays
+    arrs = generate_input_arrays(e, long_dim_length=E, as_numpy=True)
+    out = fn(f.apply_layouts(prog, arrs))
+    got = f.unpack_output(
+        prog, out[0] if isinstance(out, (list, tuple)) else out, (E, d))
+    ref = np.einsum("es,sij,ej->ei", arrs["J"], arrs["R"], arrs["u"])
+    assert np.allclose(np.asarray(got), ref, rtol=2e-5, atol=2e-5)
