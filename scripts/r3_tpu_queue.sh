@@ -175,6 +175,10 @@ echo "=== [retire] rc=$? $(date '+%T')" | tee -a $LOG
 # driver's capture is fast + green; f64 runs last inside bench itself)
 run_bench
 
+# 13: round-4 design probe (cheap, ~5 min): in-VMEM lane reshape cost —
+# decides whether div/grad get a lane_pack rewrite next round
+run 1200 python scripts/tpu_lane_reshape_probe.py
+
 # opportunistic: fill any window left before the deadline with extra
 # tuning cycles on the weakest rows.  Safe for the driver's capture:
 # autotune compiles every measured config at the bench shapes (E=1M)
