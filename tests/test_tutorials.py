@@ -46,6 +46,7 @@ def test_perf_engg_tutorial(tmp_path):
         substitutions=[
             ("stop_after=600", "stop_after=1"),
             ("long_dim_length=1_000_000", "long_dim_length=20_000"),
+            ("E = 1_000_000", "E = 20_000"),
             ('"my_archive.sqlite"', f'"{db}"'),
         ])
     assert "out_rows" in ns and len(ns["out_rows"]) == 3
