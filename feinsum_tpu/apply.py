@@ -183,12 +183,6 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     # per-instruction assembly (read-only on the shared union-find)
     indiv = []
     for info, insn in zip(infos, insns):
-        if info.scale is None:
-            raise EinsumMatchError(
-                f"instruction {info.flat_index} is divided by a traced"
-                f" scalar; its factor is unknowable at trace time — factor"
-                f" it out or use get_a_matched_einsum/build_executable"
-                f" directly")
         einsum, _nm = _assemble_matched_einsum(
             labels, sources, [insn], long_dim_length=long_dim_length)
         indiv.append((info, insn, einsum))
@@ -264,8 +258,10 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                 out = unpack_output(program, res, logical) if unpack else res
                 if info.scale != 1.0:
                     out = out * np.asarray(info.scale, out.dtype)
-                for v in info.scale_vars:
-                    out = out * expr_vals[v].astype(out.dtype)
+                pows = info.scale_var_pows or (1,) * len(info.scale_vars)
+                for v, p in zip(info.scale_vars, pows):
+                    s = expr_vals[v].astype(out.dtype)
+                    out = out * s if p > 0 else out / s
                 k = info.out_index
                 acc[k] = out if k not in acc else acc[k] + out
         flat = [acc[k].astype(out_avals[k].dtype)

@@ -89,11 +89,11 @@ class _Term:
     """A labeled tensor value in the dataflow: which operand uses it reaches
     back to, the product/contraction structure so far, and the accumulated
     scalar factor.  ``scale`` holds the sign and literal part; traced rank-0
-    multiplicative factors (a ``dt`` argument, a dot-product norm) are
-    captured as jaxpr atoms in ``scale_atoms`` — evaluable from the inputs
-    by backward slicing (feinsum_tpu.apply) even though their value is
-    unknowable at trace time.  ``scale`` is ``None`` only for the remaining
-    truly-unknowable case (division by a traced scalar)."""
+    factors (a ``dt`` argument, a dot-product norm) are captured as
+    ``(atom, exponent)`` pairs in ``scale_atoms`` (+1 for ``x * s``, -1 for
+    ``x / s``) — evaluable from the inputs by backward slicing
+    (feinsum_tpu.apply) even though their value is unknowable at trace
+    time."""
 
     def __init__(self, labels, operands, contracted, scale=1.0,
                  scale_atoms=()):
@@ -159,13 +159,15 @@ class InsnInfo:
 
     ``scale`` is the product of the instruction's sign (from ``sub``/``neg``
     sites) and any scalar *literal* factors; ``scale_vars`` holds the jaxpr
-    atoms of traced rank-0 multiplicative factors (a ``dt`` argument, a
-    dot-product norm) — ``compile_fn_with_archive`` evaluates them from the
-    call's inputs by backward slicing and re-applies them.  ``scale`` is
-    ``None`` only when the factor is truly unknowable (division by a traced
-    scalar).  A matched einsum evaluates the instruction *without* these
-    factors — re-evaluating ``fn`` from matched einsums must re-apply each
-    instruction's ``scale`` and ``scale_vars`` (ADVICE r2)."""
+    atoms of traced rank-0 factors (a ``dt`` argument, a dot-product norm),
+    with ``scale_var_pows`` giving each atom's exponent (+1 for ``x * s``,
+    -1 for ``x / s``) — ``compile_fn_with_archive`` evaluates them from the
+    call's inputs by backward slicing and re-applies them.  A matched einsum
+    evaluates the instruction *without* these factors — re-evaluating ``fn``
+    from matched einsums must re-apply each instruction's ``scale`` and
+    ``scale_vars``/``scale_var_pows`` (ADVICE r2).  ``scale`` is kept
+    Optional for API stability but is never ``None`` anymore: division by a
+    traced scalar is captured in ``scale_vars`` like multiplication."""
 
     out_index: int
     term_index: int
@@ -173,6 +175,7 @@ class InsnInfo:
     flat_index: int
     scale: Optional[float] = 1.0
     scale_vars: tuple = ()
+    scale_var_pows: tuple = ()   # per-scale_var exponent: +1 mul, -1 div
 
 
 InsnMatchT = Union[int, tuple, Callable[[InsnInfo], bool], None]
@@ -401,17 +404,18 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
                     env[eqn.outvars[0]] = _Opaque(
                         eqn.outvars[0].aval,
                         val.deps | atom_deps(s_atom))
-                elif factor is None and prim == "mul":
-                    # traced rank-0 factor (dt * rhs, dot(u,u) * einsum):
-                    # capture the atom — evaluable from the call's inputs
-                    # by backward slicing (InsnInfo.scale_vars)
+                elif factor is None:
+                    # traced rank-0 factor (dt * rhs, dot(u,u) * einsum,
+                    # rhs / dt): capture the atom with its exponent —
+                    # evaluable from the call's inputs by backward slicing
+                    # (InsnInfo.scale_vars / scale_var_pows)
+                    exp = -1 if prim == "div" else 1
                     env[eqn.outvars[0]] = map_terms(
-                        val, lambda t: _Term(t.labels, t.operands,
-                                             t.contracted, t.scale,
-                                             t.scale_atoms + (s_atom,)))
+                        val, lambda t: _Term(
+                            t.labels, t.operands, t.contracted, t.scale,
+                            t.scale_atoms + ((s_atom, exp),)))
                 else:
-                    # literal factor, or division by a traced scalar
-                    # (factor None there -> scale None: truly unknowable)
+                    # scalar literal factor (folded into the sign/scale)
                     env[eqn.outvars[0]] = map_terms(
                         val, lambda t: _Term(t.labels, t.operands,
                                              t.contracted,
@@ -526,7 +530,8 @@ def _insn_infos(out_sums, sources) -> list:
             names = tuple(dict.fromkeys(
                 sources[idx].name for idx, _ in term.operands))
             infos.append(InsnInfo(oi, ti, names, flat, term.scale,
-                                  term.scale_atoms))
+                                  tuple(a for a, _p in term.scale_atoms),
+                                  tuple(p for _a, p in term.scale_atoms)))
             flat += 1
     return infos
 
@@ -709,9 +714,10 @@ def get_matched_einsums(
 
     Results are structure-only for evaluation purposes: each einsum computes
     its instruction WITHOUT the instruction's sign/scalar factors — re-apply
-    :attr:`InsnInfo.scale` (``None`` = divided by a traced scalar, unknowable
-    here) and the traced factors in :attr:`InsnInfo.scale_vars` before
-    summing matched einsums back into *fn*'s value."""
+    :attr:`InsnInfo.scale` and the traced factors in
+    :attr:`InsnInfo.scale_vars` (with their :attr:`InsnInfo.scale_var_pows`
+    exponents; -1 = divided by the traced scalar) before summing matched
+    einsums back into *fn*'s value."""
     _traced, labels, sources, _names, out_sums = _collect_instructions(
         fn, example_args, arg_names=arg_names)
     infos = _insn_infos(out_sums, sources)

@@ -729,7 +729,8 @@ def timeit(einsum: BatchedEinsum, *,
            validation_long_dim_length: int = 100,
            min_rounds: int = N_MIN_TIMING_ROUNDS,
            min_seconds: float = MIN_TIMING_SECS,
-           method: str = "auto") -> float:
+           method: str = "auto",
+           device=None) -> float:
     """Mean seconds per launch of the (transformed) einsum program: validate
     first, then time.  ``method="host"`` follows the reference protocol
     (5 warmups, batches of 5 until >= *min_rounds* rounds and >=
@@ -738,7 +739,14 @@ def timeit(einsum: BatchedEinsum, *,
     reads the device timeline of a profiler trace
     (:func:`_timeit_device_trace`, falling back to in_graph).  ``"auto"``
     picks device on TPU (whose dispatch is remote/async here) and host
-    otherwise."""
+    otherwise.
+
+    ``device`` is accepted for reference call-shape parity (the reference's
+    timeit takes a ``cl_ctx``); execution always happens on the ambient JAX
+    backend, so here it only names the device for roofline/archive keys in
+    wrappers (:func:`stringify_comparison_vs_roofline`) and is otherwise
+    ignored."""
+    del device  # naming-only (see docstring); execution is ambient-JAX
     import jax
 
     if validate:
@@ -781,7 +789,8 @@ def measure_giga_op_rate(einsum: BatchedEinsum, *,
                          long_dim_length: int = 100_000,
                          **timeit_kwargs) -> dict:
     """dtype-name -> achieved GOp/s (parity: reference measure.py:357-385);
-    the special key ``"total"`` sums all dtypes."""
+    the special key ``"total"`` sums all dtypes.  Extra kwargs (including
+    the naming-only ``device``) forward to :func:`timeit`."""
     runtime = timeit(einsum, transform=transform,
                      long_dim_length=long_dim_length, **timeit_kwargs)
     gops = evaluate_giga_op_map(get_giga_op_map(einsum), long_dim_length)

@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 import feinsum_tpu as f
-from feinsum_tpu.diagnostics import EinsumMatchError
 
 
 def _data(E=1024, ndof=8, seed=0):
@@ -101,14 +100,33 @@ def test_traced_scalar_factor_applied():
     np.testing.assert_allclose(got, ref, rtol=2e-5)
 
 
-def test_traced_scalar_divisor_rejected():
+def test_traced_scalar_divisor_applied():
+    """r3: division by a traced scalar (rhs / dt) is captured as a
+    scale_var with exponent -1 and re-applied at call time (it used to be
+    the one rejected scalar-factor form)."""
     d = _data()
 
     def user(u, alpha):
         return jnp.einsum("ej,ej->e", u, u) / alpha
 
-    with pytest.raises(EinsumMatchError, match="divided by a traced"):
-        f.compile_fn_with_archive(user, [d["u"], jnp.float32(2.0)])
+    fn2 = f.compile_fn_with_archive(user, [d["u"], jnp.float32(2.0)])
+    got = np.asarray(fn2(d["u"], jnp.float32(4.0)))
+    ref = np.einsum("ej,ej->e", d["u"], d["u"]) / 4.0
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_mixed_mul_div_traced_scalars():
+    """beta * einsum / alpha: two scale_vars with opposite exponents."""
+    d = _data()
+
+    def user(u, alpha, beta):
+        return beta * jnp.einsum("ej,ej->e", u, u) / alpha
+
+    fn2 = f.compile_fn_with_archive(
+        user, [d["u"], jnp.float32(2.0), jnp.float32(3.0)])
+    got = np.asarray(fn2(d["u"], jnp.float32(8.0), jnp.float32(5.0)))
+    ref = 5.0 * np.einsum("ej,ej->e", d["u"], d["u"]) / 8.0
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
 
 
 def test_componentwise_div_groups_into_batched_archive_hit():
