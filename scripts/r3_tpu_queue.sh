@@ -14,8 +14,18 @@ step=0
 # (~16:45 UTC 2026-08-18); a queue step still running then would violate
 # the one-TPU-process rule and wedge the driver's capture.  Every step's
 # budget is clipped so it ENDS before the deadline; too-small remainders
-# skip.  (Round 4 reuses this script: bump the date.)
-DEADLINE=$(date -d '2026-08-18 15:45 UTC' +%s 2>/dev/null || echo 0)
+# skip.  Round 4 reuses this script: set QUEUE_HARD_DEADLINE (epoch secs,
+# ~1 h before the round's end) — the baked-in r3 date is a fallback that
+# REFUSES to run once stale, so a forgotten env can't silently skip all
+# steps or collide with a future driver's bench.
+DEADLINE=${QUEUE_HARD_DEADLINE:-$(date -d '2026-08-18 15:45 UTC' +%s \
+    2>/dev/null || echo 0)}
+if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "r3_tpu_queue: deadline $DEADLINE already passed — set" \
+        "QUEUE_HARD_DEADLINE for this round (epoch secs, ~1 h before" \
+        "round end). Refusing to run." | tee -a $LOG
+    exit 2
+fi
 
 wait_up() {
     # relay may wedge mid-queue: block (up to ~6 h) until a bounded probe
