@@ -36,18 +36,23 @@ from .matching import (
 )
 
 
-def _backward_slice_eval(jaxpr, consts, args, targets):
+def _backward_slice_eval(jaxpr, consts, args, targets, bindings=None):
     """Evaluate the jaxpr variables *targets* from *args* by interpreting
-    only the backward slice of equations that feed them."""
+    only the backward slice of equations that feed them.  *bindings*
+    (var -> value) are treated as already-computed leaves: the slice stops
+    at them and their producers are never re-executed — this is how the
+    epilogue of a matched kernel replays around the archive-computed
+    einsum frontier values."""
     from jax.extend.core import Literal
 
-    needed = set(targets)
+    bindings = bindings or {}
+    needed = {t for t in targets if t not in bindings}
     keep = []
     for eqn in reversed(jaxpr.eqns):
         if any(ov in needed for ov in eqn.outvars):
             keep.append(eqn)
             for iv in eqn.invars:
-                if not isinstance(iv, Literal):
+                if not isinstance(iv, Literal) and iv not in bindings:
                     needed.add(iv)
     keep.reverse()
     env = {}
@@ -55,6 +60,7 @@ def _backward_slice_eval(jaxpr, consts, args, targets):
         env[v] = c
     for v, a in zip(jaxpr.invars, args):
         env[v] = a
+    env.update(bindings)
 
     def read(a):
         return a.val if isinstance(a, Literal) else env[a]
@@ -64,11 +70,11 @@ def _backward_slice_eval(jaxpr, consts, args, targets):
         outs = eqn.primitive.bind(*subfuns,
                                   *[read(v) for v in eqn.invars],
                                   **bind_params)
-        if eqn.primitive.multiple_results:
-            for ov, o in zip(eqn.outvars, outs):
+        if not eqn.primitive.multiple_results:
+            outs = [outs]
+        for ov, o in zip(eqn.outvars, outs):
+            if ov not in bindings:   # never clobber an archived value
                 env[ov] = o
-        else:
-            env[eqn.outvars[0]] = outs
     return {t: env[t] for t in targets}
 
 
@@ -97,8 +103,9 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     from .measure import _apply_layouts, validate_batched_einsum_transform
     from .ops.layouts import unpack_output
 
-    (closed, out_shape), labels, sources, _names, out_sums = (
-        _collect_instructions(fn, example_args, arg_names=arg_names))
+    ((closed, out_shape), labels, sources, _names, out_sums,
+     (epi_out, frontier)) = _collect_instructions(
+        fn, example_args, arg_names=arg_names, epilogue=True)
     infos = _insn_infos(out_sums, sources)
     insns = [(oi, ti, term)
              for oi, terms in enumerate(out_sums)
@@ -264,8 +271,27 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                     out = out * s if p > 0 else out / s
                 k = info.out_index
                 acc[k] = out if k not in acc else acc[k] + out
-        flat = [acc[k].astype(out_avals[k].dtype)
-                for k in range(len(out_avals))]
+        # non-grammar epilogues (tanh(einsum), normalized residuals...):
+        # replay the jaxpr slice around the archive-computed frontier
+        # values (reference: match_t_unit_to_einsum leaves the kernel's
+        # other statements intact, loopy_utils/__init__.py:471-506)
+        epi_vals = {}
+        if epi_out:
+            bindings = {var: acc[slot].astype(var.aval.dtype)
+                        for var, slot in frontier.items()}
+            targets = [v for kind, v in epi_out.values() if kind == "var"]
+            if targets:
+                epi_vals = _backward_slice_eval(
+                    closed.jaxpr, closed.consts, args, targets,
+                    bindings=bindings)
+        flat = []
+        for k in range(len(out_avals)):
+            if k in epi_out:
+                kind, v = epi_out[k]
+                val = jnp.asarray(v) if kind == "lit" else epi_vals[v]
+            else:
+                val = acc[k]
+            flat.append(val.astype(out_avals[k].dtype))
         return jax.tree_util.tree_unflatten(out_tree, flat)
 
     # introspection: (row InsnInfos, matched einsum, program) per plan —

@@ -189,7 +189,8 @@ def _trace(fn: Callable, example_args) -> tuple:
 
 
 def _collect_instructions(fn: Callable, example_args: Sequence, *,
-                          arg_names: Optional[Sequence] = None) -> tuple:
+                          arg_names: Optional[Sequence] = None,
+                          epilogue: bool = False) -> tuple:
     """Trace *fn* and walk its jaxpr under the (extended) einsum grammar.
 
     Returns ``((closed_jaxpr, out_shape), labels, sources, arg_names,
@@ -198,7 +199,14 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
     opaque expression operands — see :class:`_Source`) and ``out_sums[k]``
     is the tuple of einsum instructions (:class:`_Term`) whose sum the k-th
     traced output computes (a single-term tuple for a plain einsum output).
-    """
+
+    With ``epilogue=True``, outputs computed OUTSIDE the grammar (a
+    ``tanh``-wrapped einsum, a normalized residual...) do not reject:
+    the einsum values feeding them become extra instruction slots appended
+    past the traced outputs, and a sixth return element ``(epi_out,
+    frontier)`` describes how to rebuild those outputs — ``epi_out`` maps
+    the output index to its jaxpr var (or literal), ``frontier`` maps each
+    cut jaxpr var to its slot in ``out_sums``."""
     from jax.extend.core import Literal
 
     if arg_names is None:
@@ -508,19 +516,81 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
             mark_opaque(eqn)
 
     out_sums = []
+    epi_out: dict = {}   # out index -> ("var", jaxpr var) | ("lit", value)
+    first_opaque = None
     for k, v in enumerate(jaxpr.outvars):
         if isinstance(v, Literal):
-            raise EinsumMatchError(
-                f"traced output {k} is a constant, not an einsum")
+            if not epilogue:
+                raise EinsumMatchError(
+                    f"traced output {k} is a constant, not an einsum")
+            epi_out[k] = ("lit", v.val)
+            out_sums.append(())
+            continue
         val = env[v]
         if isinstance(val, _Opaque):
-            raise EinsumMatchError(
+            msg = (
                 f"traced output {k} is computed entirely by primitives"
                 f" outside the batched-einsum grammar (no product/reduction"
                 f" structure to match)"
                 + (f": {val.reason}" if val.reason else ""))
+            if not epilogue:
+                raise EinsumMatchError(msg)
+            if first_opaque is None:
+                first_opaque = msg
+            epi_out[k] = ("var", v)
+            out_sums.append(())
+            continue
         out_sums.append(_as_terms(val))
-    return (closed, out_shape), labels, sources, arg_names, out_sums
+
+    # Epilogue mode (the reference's match_t_unit_to_einsum matches the
+    # einsum INSIDE a larger kernel and leaves the other statements intact,
+    # loopy_utils/__init__.py:471-506): backward-slice from each opaque
+    # output and CUT at "frontier" vars holding a nontrivial einsum value —
+    # those become extra matched instructions (slots appended past the
+    # traced outputs in out_sums); everything else in the slice replays raw.
+    frontier: dict = {}
+    if epi_out:
+        leaf = set(jaxpr.invars) | set(jaxpr.constvars)
+
+        def is_frontier(var):
+            val = env.get(var)
+            if isinstance(val, _Sum):
+                return True
+            # trivial single-operand terms (a transposed/broadcast input)
+            # are cheaper replayed raw than round-tripped through a plan
+            return (isinstance(val, _Term)
+                    and (bool(val.contracted) or len(val.operands) > 1))
+
+        needed = {v for kind, v in epi_out.values() if kind == "var"}
+        fvars: list = []
+        for eqn in reversed(jaxpr.eqns):
+            if not any(ov in needed for ov in eqn.outvars):
+                continue
+            for iv in eqn.invars:
+                if isinstance(iv, Literal) or iv in leaf:
+                    continue
+                if is_frontier(iv):
+                    if iv not in fvars:
+                        fvars.append(iv)
+                else:
+                    needed.add(iv)
+        # a frontier value that is ALSO a direct traced output reuses that
+        # output's slot (its einsum would otherwise run twice)
+        direct_slot = {v: k for k, v in enumerate(jaxpr.outvars)
+                       if not isinstance(v, Literal) and k not in epi_out}
+        for iv in fvars:
+            if iv in direct_slot:
+                frontier[iv] = direct_slot[iv]
+            else:
+                frontier[iv] = len(out_sums)
+                out_sums.append(_as_terms(env[iv]))
+        if first_opaque is not None and not any(out_sums):
+            # no einsum anywhere (outputs NOR their slices): keep the
+            # original diagnostic rather than matching an empty plan set
+            raise EinsumMatchError(first_opaque)
+
+    ret = (closed, out_shape), labels, sources, arg_names, out_sums
+    return ret + ((epi_out, frontier),) if epilogue else ret
 
 
 def _insn_infos(out_sums, sources) -> list:
@@ -695,8 +765,9 @@ def get_a_matched_einsum(
     ``(out_index, term_index)`` pair, or a predicate over :class:`InsnInfo`.
     Multiple selected instructions must form batch rows of one einsum.
     """
-    _traced, labels, sources, _names, out_sums = (
-        _collect_instructions(fn, example_args, arg_names=arg_names))
+    _traced, labels, sources, _names, out_sums, _epi = (
+        _collect_instructions(fn, example_args, arg_names=arg_names,
+                              epilogue=True))
     selected = _select_instructions(out_sums, sources, insn_match)
     return _assemble_matched_einsum(labels, sources, selected,
                                     long_dim_length=long_dim_length)
@@ -717,9 +788,11 @@ def get_matched_einsums(
     :attr:`InsnInfo.scale` and the traced factors in
     :attr:`InsnInfo.scale_vars` (with their :attr:`InsnInfo.scale_var_pows`
     exponents; -1 = divided by the traced scalar) before summing matched
-    einsums back into *fn*'s value."""
-    _traced, labels, sources, _names, out_sums = _collect_instructions(
-        fn, example_args, arg_names=arg_names)
+    einsums back into *fn*'s value.  Einsums feeding a non-grammar epilogue
+    (``tanh(einsum)``...) are enumerated too; their ``InsnInfo.out_index``
+    is a frontier slot >= the number of traced outputs."""
+    _traced, labels, sources, _names, out_sums, _epi = _collect_instructions(
+        fn, example_args, arg_names=arg_names, epilogue=True)
     infos = _insn_infos(out_sums, sources)
     insns = [(oi, ti, term)
              for oi, terms in enumerate(out_sums)

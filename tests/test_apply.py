@@ -4,6 +4,7 @@ schedule (the reference applies transforms to the user's kernel in place;
 codegen/loopy.py:94-95's substitution rules are what our operand-expression
 evaluation mirrors)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -210,3 +211,100 @@ def test_einsum_rewriting_champion_replays(tmp_path):
                                     long_dim_length=500)
     assert fn3.plans[0][2].descriptor.lane_pack == 1
     _close(fn3(u2, M), user(u2, M))
+
+
+def test_epilogue_tanh():
+    """r3: a non-grammar epilogue (tanh of an einsum) no longer rejects —
+    the einsum runs through its archive plan and the epilogue replays the
+    sliced jaxpr around it (reference parity: match_t_unit_to_einsum
+    matches the einsum inside a larger kernel, leaving the other
+    statements intact)."""
+    d = _data()
+
+    def user(u, D):
+        return jnp.tanh(jnp.einsum("ej,ij->ei", u, D))
+
+    fn2 = f.compile_fn_with_archive(user, [d["u"], d["D"][0]])
+    got = np.asarray(fn2(d["u"], d["D"][0]))
+    np.testing.assert_allclose(got, np.asarray(user(d["u"], d["D"][0])),
+                               rtol=2e-5, atol=1e-6)
+    assert len(fn2.plans) == 1
+    # jit-compatible: the epilogue replays inside the traced graph
+    got_j = np.asarray(jax.jit(fn2)(d["u"], d["D"][0]))
+    np.testing.assert_allclose(got_j, got, rtol=2e-5, atol=1e-6)
+
+
+def test_epilogue_mixed_outputs_maximal_frontier():
+    """One output is a direct einsum, the other an exp() epilogue over a
+    difference of einsums scaled by a traced dt.  The frontier is cut at
+    the LAST grammar value (dt * (a - b)): its sum/sign/dt handling rides
+    the normal instruction machinery and only exp() replays raw."""
+    d = _data()
+
+    def user(u, D, dt):
+        a = jnp.einsum("ej,ij->ei", u, D)
+        b = jnp.einsum("ej,ij->ei", u, 2.0 * D)
+        return a, jnp.exp(dt * (a - b))
+
+    fn2 = f.compile_fn_with_archive(user,
+                                    [d["u"], d["D"][0], jnp.float32(0.1)])
+    got = fn2(d["u"], d["D"][0], jnp.float32(0.25))
+    ref = user(d["u"], d["D"][0], jnp.float32(0.25))
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=1e-5)
+    # a (direct) + the frontier sum's two addends, batched into one plan
+    n_insns = sum(len(row_infos) for row_infos, _e, _p in fn2.plans)
+    assert n_insns == 3 and len(fn2.plans) == 1
+
+
+def test_epilogue_reuses_direct_output_slot():
+    """An epilogue consuming exactly a traced-output einsum value reuses
+    that output's instruction slot instead of recomputing it."""
+    d = _data()
+
+    def user(u, D):
+        a = jnp.einsum("ej,ij->ei", u, D)
+        return a, jnp.exp(a)
+
+    fn2 = f.compile_fn_with_archive(user, [d["u"], d["D"][0]])
+    got = fn2(d["u"], d["D"][0])
+    ref = user(d["u"], d["D"][0])
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=1e-5)
+    n_insns = sum(len(row_infos) for row_infos, _e, _p in fn2.plans)
+    assert n_insns == 1
+
+
+def test_epilogue_with_raw_input_term():
+    """The epilogue slice may mix frontier einsum values with raw inputs."""
+    d = _data()
+
+    def user(u, D):
+        return jnp.tanh(jnp.einsum("ej,ij->ei", u, D)) + u
+
+    fn2 = f.compile_fn_with_archive(user, [d["u"], d["D"][0]])
+    np.testing.assert_allclose(np.asarray(fn2(d["u"], d["D"][0])),
+                               np.asarray(user(d["u"], d["D"][0])),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_pure_non_einsum_fn_still_rejects():
+    from feinsum_tpu.diagnostics import EinsumMatchError
+    d = _data()
+    with pytest.raises(EinsumMatchError, match="outside the batched-einsum"):
+        f.compile_fn_with_archive(lambda x: jnp.tanh(x), [d["u"]])
+
+
+def test_get_a_matched_einsum_inside_larger_kernel():
+    """Matching surfaces accept epilogues too (the lookup half of the
+    reference's match_t_unit_to_einsum promise)."""
+    d = _data()
+
+    def user(u, D):
+        return jnp.tanh(jnp.einsum("ej,ij->ei", u, D))
+
+    einsum, name_map = f.get_a_matched_einsum(user, [d["u"], d["D"][0]])
+    assert name_map == {"u": 0, "D": 1}
+    assert len(einsum.out_idx_set) == 2

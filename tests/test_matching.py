@@ -72,13 +72,19 @@ def test_match_batched_rows():
     assert e.arg_to_shape["R"] == (3, 8, 8)
 
 
-def test_match_rejects_nonlinear():
+def test_match_inside_nonlinear_epilogue():
+    """r3: a nonlinearity wrapping an einsum no longer rejects — the inner
+    einsum is matched and the tanh is epilogue (reference parity:
+    match_t_unit_to_einsum matches the einsum inside a larger kernel,
+    loopy_utils/__init__.py:471-506)."""
     def fn(a, b):
         return jnp.tanh(a @ b)
 
-    with pytest.raises(f.EinsumMatchError):
-        get_a_matched_einsum(fn, [jnp.ones((600, 8), jnp.float32),
-                                  jnp.ones((8, 8), jnp.float32)])
+    einsum, name_map = get_a_matched_einsum(
+        fn, [jnp.ones((600, 8), jnp.float32),
+             jnp.ones((8, 8), jnp.float32)])
+    assert name_map == {"a": 0, "b": 1}
+    assert len(einsum.out_idx_set) == 2
 
 
 def test_knowledge_transfer_flow():
@@ -266,13 +272,25 @@ def test_insn_scale_tracking():
     assert len(info2.scale_vars) == 1
 
 
-def test_match_rejects_scalar_offset():
+def test_match_inside_scalar_offset_epilogue():
+    """r3: a scalar offset is epilogue, not a rejection — the einsum under
+    it still matches (its sum structure is cut at the offset)."""
     def fn(u, D):
         return jnp.einsum("ej,ij->ei", u, D) + 1.0
 
-    with pytest.raises(f.EinsumMatchError, match="scalar offset"):
-        get_a_matched_einsum(fn, [jnp.ones((600, 8), jnp.float32),
-                                  jnp.ones((8, 8), jnp.float32)])
+    einsum, name_map = get_a_matched_einsum(
+        fn, [jnp.ones((600, 8), jnp.float32),
+             jnp.ones((8, 8), jnp.float32)])
+    assert name_map == {"u": 0, "D": 1}
+
+
+def test_match_still_rejects_pure_non_einsum():
+    def fn(u):
+        return jnp.tanh(u)
+
+    with pytest.raises(f.EinsumMatchError,
+                       match="outside the batched-einsum"):
+        get_a_matched_einsum(fn, [jnp.ones((600, 8), jnp.float32)])
 
 
 def test_abstract_long_axes():
