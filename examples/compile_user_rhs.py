@@ -57,3 +57,24 @@ out = rhs(*args)
 ref = user_rhs(*args)
 err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
 print(f"output {out.shape}, max rel err vs plain jnp: {err:.2e}")
+
+
+# --- epilogue seam: einsums inside a larger kernel ---------------------
+# The reference's match_t_unit_to_einsum matches the einsum INSIDE a
+# kernel and leaves the other statements intact.  Here the RHS is wrapped
+# in a slope-limiter-style nonlinearity and paired with a scalar energy
+# diagnostic: the einsums still run through their archived schedules, and
+# the tanh/sqrt epilogues replay around the archive-computed values.
+def user_rhs_limited(dt, Jx, Jy, Jz, R, ux, uy, uz, L, Fj, flux):
+    r = user_rhs(dt, Jx, Jy, Jz, R, ux, uy, uz, L, Fj, flux)
+    energy = jnp.sqrt(jnp.einsum("ej,ej->", ux, ux))
+    return jnp.tanh(r), energy
+
+
+rhs_lim = f.compile_fn_with_archive(user_rhs_limited, args,
+                                    long_dim_length=1000)
+lim, en = rhs_lim(*args)
+lim_ref, en_ref = user_rhs_limited(*args)
+err = float(jnp.max(jnp.abs(lim - lim_ref)) / jnp.max(jnp.abs(lim_ref)))
+print(f"limited output {lim.shape}, max rel err: {err:.2e};"
+      f" energy rel err: {abs(float(en - en_ref)) / float(en_ref):.2e}")
