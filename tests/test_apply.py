@@ -308,3 +308,31 @@ def test_get_a_matched_einsum_inside_larger_kernel():
     einsum, name_map = f.get_a_matched_einsum(user, [d["u"], d["D"][0]])
     assert name_map == {"u": 0, "D": 1}
     assert len(einsum.out_idx_set) == 2
+
+
+def test_epilogue_where_and_nested_jit_and_reduction():
+    """Epilogue slices replay arbitrary primitives: select_n (a limiter's
+    jnp.where), a user's nested-jit filter (pjit eqn), and a full
+    reduction diagnostic (max-norm)."""
+    d = _data()
+    u, D = d["u"], d["D"][0]
+
+    def limiter(u, D):
+        a = jnp.einsum("ej,ij->ei", u, D)
+        return jnp.where(a > 0, a, 0.1 * a)
+
+    @jax.jit
+    def filt(x):
+        return jnp.tanh(x) * 0.5
+
+    def filtered(u, D):
+        return filt(jnp.einsum("ej,ij->ei", u, D))
+
+    def norm(u, D):
+        return jnp.max(jnp.abs(jnp.einsum("ej,ij->ei", u, D)))
+
+    for user in (limiter, filtered, norm):
+        fn2 = f.compile_fn_with_archive(user, [u, D])
+        np.testing.assert_allclose(np.asarray(fn2(u, D)),
+                                   np.asarray(user(u, D)),
+                                   rtol=2e-4, atol=1e-5)
