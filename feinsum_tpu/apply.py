@@ -11,7 +11,11 @@ replacement callable: every einsum instruction inside *fn* is matched
 through the archived schedule; operand expressions (``2*J + 1``, captured
 constants, ...) are evaluated by slicing the traced jaxpr; instruction
 signs/scalar factors (:attr:`InsnInfo.scale`) and the sum structure are
-re-applied to reconstruct *fn*'s exact outputs.
+re-applied to reconstruct *fn*'s exact outputs.  Outputs computed OUTSIDE
+the grammar (``tanh(einsum)``...) replay the sliced jaxpr around the
+archive-computed frontier einsum values (the epilogue seam — the analog
+of the reference matching an einsum inside a larger kernel,
+loopy_utils/__init__.py:471-506).
 
 Storage-contract note: archived schedules declare HBM layouts
 (dof-major / fold / lane_pack...).  ``compile_fn_with_archive`` applies
@@ -88,8 +92,12 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     einsum instruction executed through its best archived schedule (archive
     misses fall back to the opt_einsum XLA program).
 
-    Raises :class:`EinsumMatchError` when *fn* is outside the matchable
-    grammar or an instruction carries a traced (unknowable) scalar factor.
+    Traced scalar factors (``dt * rhs``, ``rhs / dt``) are re-applied at
+    call time; non-grammar epilogues (``tanh(einsum)``, limiters, norm
+    diagnostics) replay around the archive-computed einsum values (the
+    epilogue seam, :func:`~feinsum_tpu.matching._collect_instructions`).
+    Raises :class:`EinsumMatchError` only when *fn* contains no matchable
+    einsum at all.
     """
     import jax
     import jax.numpy as jnp

@@ -764,6 +764,13 @@ def get_a_matched_einsum(
     filter, loopy_utils/__init__.py:233-254): a flat instruction index, an
     ``(out_index, term_index)`` pair, or a predicate over :class:`InsnInfo`.
     Multiple selected instructions must form batch rows of one einsum.
+
+    Einsums inside a non-grammar kernel also match (``tanh(einsum)``,
+    ``einsum + 1.0``): the einsum values feeding such outputs appear as
+    frontier instruction slots with ``out_index`` >= the number of traced
+    outputs (the epilogue seam; reference parity:
+    ``match_t_unit_to_einsum`` matching the einsum inside a larger kernel,
+    loopy_utils/__init__.py:471-506).
     """
     _traced, labels, sources, _names, out_sums, _epi = (
         _collect_instructions(fn, example_args, arg_names=arg_names,
