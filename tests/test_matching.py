@@ -397,3 +397,19 @@ def test_match_constant_folded_operands():
 
     e3, nm3 = get_a_matched_einsum(fn3, [u, M])
     assert e3.n >= 2
+
+
+def test_get_matched_einsums_enumerates_epilogue_frontier():
+    """Frontier instructions (einsums feeding a non-grammar epilogue) are
+    enumerated with out_index >= the number of traced outputs."""
+    def fn(u, D):
+        a = jnp.einsum("ej,ij->ei", u, D)
+        return jnp.tanh(a)
+
+    triples = f.get_matched_einsums(
+        fn, [jnp.ones((600, 8), jnp.float32),
+             jnp.ones((8, 8), jnp.float32)])
+    assert len(triples) == 1
+    _einsum, name_map, info = triples[0]
+    assert info.out_index >= 1     # frontier slot, not traced output 0
+    assert name_map == {"u": 0, "D": 1}
