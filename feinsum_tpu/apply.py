@@ -87,7 +87,8 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                             db_path: Optional[str] = None,
                             long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
                             arg_names: Optional[Sequence] = None,
-                            validate: bool = False) -> Callable:
+                            validate: bool = False,
+                            spot_check: bool = True) -> Callable:
     """Return a callable computing exactly what *fn* computes, with every
     einsum instruction executed through its best archived schedule (archive
     misses fall back to the opt_einsum XLA program).
@@ -98,6 +99,12 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     epilogue seam, :func:`~feinsum_tpu.matching._collect_instructions`).
     Raises :class:`EinsumMatchError` only when *fn* contains no matchable
     einsum at all.
+
+    Every selected champion is numerically spot-checked once at tiny
+    length before its plan is cached (*spot_check*, default on); pass
+    ``validate=True`` for the full-size oracle check instead, or
+    ``spot_check=False`` to skip both (fastest plan construction, trusts
+    the archive).
     """
     import jax
     import jax.numpy as jnp
@@ -181,6 +188,17 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                         validate_batched_einsum_transform(
                             einsum, transform,
                             long_dim_length=min(2048,
+                                                max(lengths.values())))
+                    elif spot_check:
+                        # default-path numeric spot-check: an archive row
+                        # recorded under an older emitter that now
+                        # builds-but-miscomputes must not be served
+                        # silently.  Tiny length (validate rounds it up to
+                        # the champion's structural multiples), once per
+                        # cached plan; a mismatch drops to the runner-ups.
+                        validate_batched_einsum_transform(
+                            einsum, transform,
+                            long_dim_length=min(128,
                                                 max(lengths.values())))
                     program = transform(generate_program(einsum))
                 else:

@@ -336,3 +336,60 @@ def test_epilogue_where_and_nested_jit_and_reduction():
         np.testing.assert_allclose(np.asarray(fn2(u, D)),
                                    np.asarray(user(u, D)),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_default_spot_check_skips_corrupted_archive_row(tmp_path):
+    """VERDICT r3 #6: a champion recorded under an emitter that now
+    builds-but-miscomputes must not be served silently.  A corrupt impl
+    (transposes the square operand: builds fine, wrong values) is planted
+    as the top row; the default path must numerically spot-check it at
+    tiny length and fall through to the opt_einsum program."""
+    from feinsum_tpu import sql_utils
+
+    corrupt_mod = tmp_path / "corrupt_v0.py"
+    corrupt_mod.write_text(
+        "from dataclasses import replace\n"
+        "from feinsum_tpu.tuning import BoolParameter, transform_param\n"
+        "\n"
+        "@transform_param('corrupt', lambda e: BoolParameter())\n"
+        "def transform(program, corrupt):\n"
+        "    # transpose the SQUARE operand's indices: builds fine (same\n"
+        "    # shapes), computes the wrong values\n"
+        "    sch = program.schedule\n"
+        "    ins, out = sch.subscripts[0].split('->')\n"
+        "    a, b = ins.split(',')\n"
+        "    new = a + ',' + b[::-1] + '->' + out\n"
+        "    return program.copy(schedule=replace(\n"
+        "        sch, subscripts=(new,) + sch.subscripts[1:]))\n")
+
+    db = str(tmp_path / "scratch.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                 f.array("D", (20, 20), "float32"))
+    sql_utils.record_facts(e, transform_id=str(corrupt_mod),
+                           transform_params={"corrupt": True},
+                           runtime_in_sec=1e-9,  # sorts first in the ladder
+                           device=f.FakeDevice("TPU v5 lite"), db_path=db,
+                           long_dim_length=2048)
+
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random((2048, 20), np.float32))
+    M = jnp.asarray(rng.random((20, 20), np.float32))
+
+    def user(dofs, op):
+        return jnp.einsum("nq,dq->nd", dofs, op)
+
+    # spot_check=False serves the corrupt champion: WRONG values (this is
+    # the failure mode the default guards against)
+    fn_bad = f.compile_fn_with_archive(user, [u, M], db_path=db,
+                                       device=f.FakeDevice("TPU v5 lite"),
+                                       long_dim_length=500,
+                                       spot_check=False)
+    assert not np.allclose(np.asarray(fn_bad(u, M)),
+                           np.asarray(user(u, M)), rtol=1e-3)
+
+    # default path: the spot check rejects it, ladder falls through,
+    # values are right
+    fn2 = f.compile_fn_with_archive(user, [u, M], db_path=db,
+                                    device=f.FakeDevice("TPU v5 lite"),
+                                    long_dim_length=500)
+    _close(fn2(u, M), user(u, M))
