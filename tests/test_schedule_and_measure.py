@@ -252,3 +252,87 @@ def test_short_span_retraces_and_keeps_larger(monkeypatch):
                         lambda fn, arrays: 100e-6)
     assert measure.timeit_on_device(None, {}) == 260e-6
     assert calls == [30, 200]
+
+
+# {{{ timing-protocol selection (VERDICT r3 #8): the three-heuristic stack
+# in timeit_on_device must keep choosing the right primary per regime
+
+class _ProtocolProbe:
+    """Monkeypatch harness: synthetic wall/floor/trace/in-graph values,
+    recording which helpers ran (and the re-trace n_iters)."""
+
+    def __init__(self, monkeypatch, *, wall=None, floor=None,
+                 trace=None, retrace=None, in_graph=None):
+        from feinsum_tpu import measure
+        self.calls = []
+
+        def fake_wall(fn, arrays, **kw):
+            self.calls.append("wall")
+            return wall
+
+        def fake_floor(fn, arrays):
+            self.calls.append("floor")
+            return floor
+
+        def fake_trace(fn, arrays, **kw):
+            if kw.get("n_iters") == 200:
+                self.calls.append("retrace")
+                return retrace
+            self.calls.append("trace")
+            return trace
+
+        def fake_in_graph(fn, arrays, **kw):
+            self.calls.append("in_graph")
+            return in_graph
+
+        monkeypatch.setattr(measure, "_timeit_wall_diff", fake_wall)
+        monkeypatch.setattr(measure, "_bytes_floor_seconds", fake_floor)
+        monkeypatch.setattr(measure, "_timeit_device_trace", fake_trace)
+        monkeypatch.setattr(measure, "_timeit_in_graph", fake_in_graph)
+
+
+def _ton():
+    from feinsum_tpu.measure import timeit_on_device
+    return timeit_on_device(lambda a: a, {})
+
+
+def test_protocol_wall_diff_wins_above_100ms(monkeypatch):
+    p = _ProtocolProbe(monkeypatch, wall=0.2, floor=0.05, trace=0.15)
+    assert _ton() == 0.2
+    assert "trace" not in p.calls  # trace costs minutes at >=100 ms spans
+
+
+def test_protocol_span_is_primary_below_100ms(monkeypatch):
+    p = _ProtocolProbe(monkeypatch, wall=0.001, floor=0.0005, trace=0.002)
+    assert _ton() == 0.002
+    assert "retrace" not in p.calls  # 2 ms span is stable: no re-trace
+
+
+def test_protocol_floor_clamps_underreporting_span(monkeypatch):
+    # plain-HLO module span excluding async DMA: the floor is authoritative
+    p = _ProtocolProbe(monkeypatch, wall=None, floor=0.001, trace=0.0006)
+    assert _ton() == 0.001
+    assert "trace" in p.calls
+
+
+def test_protocol_sub_500us_retrace_keeps_larger_median(monkeypatch):
+    p = _ProtocolProbe(monkeypatch, wall=None, floor=0.0001,
+                       trace=0.0003, retrace=0.0004)
+    assert _ton() == 0.0004
+    assert "retrace" in p.calls
+
+
+def test_protocol_no_trace_falls_back_to_floored_wall(monkeypatch):
+    p = _ProtocolProbe(monkeypatch, wall=0.01, floor=0.02, trace=None,
+                       retrace=None)
+    assert _ton() == 0.02
+    assert "trace" in p.calls
+
+
+def test_protocol_in_graph_is_last_resort(monkeypatch):
+    p = _ProtocolProbe(monkeypatch, wall=None, floor=0.001, trace=None,
+                       retrace=None, in_graph=0.005)
+    assert _ton() == 0.005
+    assert "in_graph" in p.calls
+
+# }}}
