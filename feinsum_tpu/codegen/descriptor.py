@@ -124,9 +124,30 @@ class ScheduleDescriptor:
     # ``lane_pack`` = g; ``lane_pack_args`` = streamed operand names stored
     # packed host-side; ``kron_args`` = resident names kron-expanded
     # in-graph.  SizeParam axis lengths are divided by g at build time.
+    #
+    # DG-family generalization (reference n_e_per_wg at P1/P2,
+    # xre_rij_xej_to_ei_v4.py:41-114): classes with a SECOND streamed
+    # factor (div's J (E,s), grad's J (3,3,E), face's F (4,E)) pack too.
+    # ``lane_pack_args`` entries may be ``(name, n_lead)``: the long axis
+    # sits after *n_lead* leading axes and packing reshapes
+    # (lead..., E, rest...) -> (lead..., E/g, g*prod(rest)) — still a free
+    # view of the row-major buffer (plain str entries = n_lead 0).
+    # ``kron_args`` entries may be ``(name, perm)``: the resident is
+    # transposed by *perm* first, then kron-expanded over its LAST TWO axes
+    # batched over the leading ones (T[m] = kron(I_g, R[m])).
+    # ``lane_pack_expand`` synthesizes the 0/1 lane-expansion matrices the
+    # packed J factor contracts against (a tiny in-graph constant, like the
+    # kron residents): entries ``(name, "P", g, d, dtype)`` make
+    # P[a, f*d+k] = (a==f) of shape (g, g*d); ``(name, "A", g, s, d,
+    # dtype)`` make A[t, a*s+u, f*d+k] = (a==f)(u==t) of shape
+    # (s, g*s, g*d).  W = J_packed @ P broadcasts each element's scale
+    # across its d output lanes with one raw-block MXU dot — no lane
+    # reshape (unprobed relayout) and no strided lane slicing (a known
+    # Mosaic crash class).
     lane_pack: int = 1
     lane_pack_args: tuple = ()
     kron_args: tuple = ()
+    lane_pack_expand: tuple = ()
     # row-concatenation rewrite (batched einsums whose rows share every
     # resident operand): the b rows' streamed operands are stored stacked
     # along the long axis ((b, E, ...) -> (b*E, ...), free for row-major

@@ -210,22 +210,53 @@ def _build_executable_cached(program: EinsumProgram, lengths_key: tuple):
     import jax
 
     kron = tuple(getattr(program.descriptor, "kron_args", ()) or ())
+    expand = tuple(getattr(program.descriptor, "lane_pack_expand", ()) or ())
     g = getattr(program.descriptor, "lane_pack", 1) or 1
-    if kron and g > 1:
+    if (kron or expand) and g > 1:
         # lane-pack contract: resident operands arrive in their LOGICAL
         # shape and are kron-expanded to block-diagonal form in-graph (tiny,
-        # once per launch; XLA feeds the result to the kernel as raw blocks)
+        # once per launch; XLA feeds the result to the kernel as raw blocks).
+        # The 0/1 lane-expansion matrices (descriptor.lane_pack_expand) are
+        # synthesized here too — callers never pass them.
         inner = _build_executable_cached(
-            program.with_descriptor(kron_args=()), lengths_key)
+            program.with_descriptor(kron_args=(), lane_pack_expand=()),
+            lengths_key)
         import jax.numpy as jnp
 
         def outer(arrays_by_name: dict):
             arrays = dict(arrays_by_name)
-            for name in kron:
+            for entry in kron:
+                name, perm = (entry if isinstance(entry, tuple)
+                              else (entry, None))
                 a = arrays[name]
+                if perm is not None:
+                    a = jnp.transpose(a, tuple(int(p) for p in perm))
                 if a.ndim == 1:     # vecmat variant: x -> kron(I, x[:,None])
                     a = a.reshape(-1, 1)
-                arrays[name] = jnp.kron(jnp.eye(g, dtype=a.dtype), a)
+                eye = jnp.eye(g, dtype=a.dtype)
+                if a.ndim == 2:
+                    arrays[name] = jnp.kron(eye, a)
+                else:
+                    # batched kron over the last two axes: T[..m] =
+                    # kron(I_g, R[..m]) for DG residents (s/r/f, i, j)
+                    lead = a.shape[:-2]
+                    di, dj = a.shape[-2:]
+                    t = jnp.einsum("ab,...ij->...aibj", eye, a)
+                    arrays[name] = t.reshape(lead + (g * di, g * dj))
+            for entry in expand:
+                if entry[1] == "P":
+                    name, _kind, gg, d, dt = entry
+                    p = jnp.einsum("af,k->afk",
+                                   jnp.eye(gg, dtype=dt),
+                                   jnp.ones((d,), dtype=dt))
+                    arrays[name] = p.reshape(gg, gg * d)
+                else:
+                    name, _kind, gg, s, d, dt = entry
+                    a4 = jnp.einsum("af,ut,k->taufk",
+                                    jnp.eye(gg, dtype=dt),
+                                    jnp.eye(s, dtype=dt),
+                                    jnp.ones((d,), dtype=dt))
+                    arrays[name] = a4.reshape(s, gg * s, gg * d)
             return inner(arrays)
 
         return jax.jit(outer)

@@ -128,18 +128,22 @@ def apply_layouts(program: EinsumProgram, arrays: dict) -> dict:
         else:
             import jax.numpy as jnp
             out[new_name] = jnp.concatenate(stack, axis=0)
-    # lane-pack contract first: g consecutive elements of the leading long
-    # axis share one packed dof row, (E, *rest) -> (E/g, g*prod(rest)) —
-    # a free reshape of the row-major buffer (descriptor.lane_pack)
+    # lane-pack contract first: g consecutive elements of the long axis
+    # share one packed dof row, (lead..., E, rest...) ->
+    # (lead..., E/g, g*prod(rest)) — a free reshape of the row-major buffer
+    # (descriptor.lane_pack; entries may be (name, n_lead), plain names
+    # mean n_lead 0)
     g = getattr(program.descriptor, "lane_pack", 1) or 1
-    for name in getattr(program.descriptor, "lane_pack_args", ()) or ():
+    for entry in getattr(program.descriptor, "lane_pack_args", ()) or ():
+        name, n_lead = (entry if isinstance(entry, tuple) else (entry, 0))
         arr = out[name]
-        if arr.shape[0] % g:
+        if arr.shape[n_lead] % g:
             from .diagnostics import InvalidParameterError
             raise InvalidParameterError(
                 f"lane_pack={g} requires {name}'s long axis"
-                f" ({arr.shape[0]}) divisible by it")
-        out[name] = arr.reshape((arr.shape[0] // g, -1))
+                f" ({arr.shape[n_lead]}) divisible by it")
+        out[name] = arr.reshape(
+            arr.shape[:n_lead] + (arr.shape[n_lead] // g, -1))
     # pre_layouts: logical (user) axes -> the rewritten program's stored
     # grouping (e.g. rank-4 TC operand -> GEMM-natural 2D), applied first
     for name, nested in dict(program.descriptor.pre_layouts).items():
@@ -338,8 +342,14 @@ def validate_batched_einsum_transform(
             from .ops.layouts import apply_nested_layout
             ref = apply_nested_layout(ref, pre_out)
         if lane_g > 1:
-            # lane-packed outputs are delivered (E/g, g*d_out)
-            ref = np.reshape(ref, (ref.shape[0] // lane_g, -1))
+            # lane-packed outputs are delivered (lead..., E/g, g*d_out)
+            # (the long axis is second-to-last logically; 1D vecmat
+            # outputs pack (E,) -> (E/g, g))
+            if ref.ndim == 1:
+                ref = np.reshape(ref, (ref.shape[0] // lane_g, -1))
+            else:
+                ref = np.reshape(
+                    ref, ref.shape[:-2] + (ref.shape[-2] // lane_g, -1))
         if out_layout is not None:
             # outputs are delivered in the descriptor's stored layout
             ref = np.transpose(ref, tuple(int(p) for p in out_layout))

@@ -309,14 +309,21 @@ def unpack_output(program, arr, logical_shape):
     if desc.pre_out_layout is not None:
         n_stored = len(desc.pre_out_layout)
     elif lane_g > 1:
-        n_stored = 2
+        # packed outputs keep the logical rank (long axis second-to-last,
+        # packed dof axis last), except the 1D vecmat variant which stores
+        # (E/g, g)
+        n_stored = max(len(logical_shape), 2)
     if fold > 1 and arr.ndim == n_stored + 1:
         arr = xp.reshape(arr, arr.shape[:-2] + (-1,))
     if desc.out_layout is not None:
         inv = np.argsort(desc.out_layout)
         arr = xp.transpose(arr, tuple(int(i) for i in inv))
     if lane_g > 1:
-        arr = xp.reshape(arr, (arr.shape[0] * lane_g, -1))
+        # (lead..., E/g, g*d) -> (lead..., E, d): split the packed lanes
+        # and merge g into the adjacent long axis (both free views of the
+        # row-major buffer)
+        arr = xp.reshape(arr, arr.shape[:-2] + (arr.shape[-2] * lane_g,
+                                                arr.shape[-1] // lane_g))
         if arr.shape[-1] == 1 and len(logical_shape) == 1:
             arr = xp.reshape(arr, (-1,))
     if desc.pre_out_layout is not None:

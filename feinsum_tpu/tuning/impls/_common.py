@@ -136,6 +136,7 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
                          prereduce: bool = False, vmem_idx=None,
                          split_rows: bool = False, accum_f32: bool = False,
                          host_hoist: bool = True, mfold: bool = False,
+                         keep_schedule: bool = False,
                          **desc) -> object:
     """The core schedule of the DG family: (optionally) multi-step hoisted
     contraction, fully fused in VMEM, gridded over the long axis; *dofmajor*
@@ -145,7 +146,11 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
     sublane padding; +15% streaming, scripts/tpu_fold_probe*.py)."""
     e = program.einsum
     guard_vmem(e, block_long)
-    if jfold:
+    if keep_schedule:
+        # the program carries a rewrite-built schedule (lane_pack DG
+        # variant); the schedule-selection knobs were rejected upstream
+        schedule = program.schedule
+    elif jfold:
         # outer-product-first schedule: multiply the streamed operands into
         # one intermediate (e.g. div's tmp[e,s,j] = J[e,s]*u[e,j]), then a
         # single contraction against the resident matrix.  The emitter's
@@ -174,7 +179,7 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
         schedule = get_opt_einsum_contraction_schedule(e)
     else:
         schedule = get_trivial_contraction_schedule(e)
-    if prereduce and not jfold:
+    if prereduce and not jfold and not keep_schedule:
         # resident-private pre-reduction on the plain schedules too (the
         # curl class: 'rij->ij' turns 3 unrolled r-dots into one mass dot).
         # Measured caveat (v5e): feeding an MXU dot's RESIDENT side from a
@@ -271,7 +276,8 @@ def make_dg_space(*, log2_block_max: int = 18):
     @transform_param("prereduce", lambda e: gate(
         has_resident_private_indices(e)))
     @transform_param("lane_pack_g", lambda e: (
-        IntParameter(0, 5) if lane_packable(e) else IntParameter(0, 0)))
+        IntParameter(0, 5) if lane_packable(e)
+        or lane_pack_dg_applicable(e) else IntParameter(0, 0)))
     @transform_param("rowcat", lambda e: gate(rowcat_applicable(e)))
     @transform_param("parallel_grid", lambda e: BoolParameter())
     @transform_param("vmem_idx", lambda e: IntParameter(0, 2))
@@ -284,21 +290,35 @@ def make_dg_space(*, log2_block_max: int = 18):
                   jfold=False, mfold=False, prereduce=False, lane_pack_g=0,
                   rowcat=False, vmem_idx=None, split_rows=False,
                   accum_f32=False, host_hoist=True):
-        extras = None
+        extras = {}
         if rowcat:
             if split_rows:
                 raise InvalidParameterError(
                     "rowcat merges rows; split_rows contradicts it")
-            if lane_pack_g:
-                # composing the rewrites would need merged descriptor
-                # extras AND a composed storage contract — unsupported
-                # (bind_args skips space validation, so guard here too)
-                raise InvalidParameterError(
-                    "rowcat and lane_pack cannot compose")
-            program, extras = rewrite_rowcat(program)
+            # lane_pack composes with rowcat since r4: rowcat rewrites
+            # first (rows concatenated along the long axis), then the
+            # packing rewrite applies to the merged single-row program —
+            # exactly apply_layouts' storage-contract order; the extras
+            # dicts merge (disjoint keys)
+            program, ex = rewrite_rowcat(program)
+            extras.update(ex)
+        keep_schedule = False
         if lane_pack_g:
-            program, extras = rewrite_lane_pack(program,
+            if lane_packable(program.einsum):
+                program, ex = rewrite_lane_pack(program,
                                                 2 ** int(lane_pack_g))
+                extras.update(ex)
+            else:
+                # DG variant fixes its own 3-step schedule; the
+                # schedule-shape knobs would silently duplicate configs
+                if hoist or jfold or mfold or prereduce:
+                    raise InvalidParameterError(
+                        "lane_pack (DG variant) fixes its own schedule;"
+                        " hoist/jfold/mfold/prereduce do not compose")
+                program, ex = rewrite_lane_pack_dg(
+                    program, 2 ** int(lane_pack_g))
+                extras.update(ex)
+                keep_schedule = True
         p2 = fused_pallas_program(
             program, block_long=resolve_block(log2_block, blkc128),
             hoist=bool(hoist), parallel_grid=parallel_grid,
@@ -306,7 +326,7 @@ def make_dg_space(*, log2_block_max: int = 18):
             precision_3x=precision_3x, jfold=bool(jfold), mfold=bool(mfold),
             prereduce=bool(prereduce), vmem_idx=vmem_idx,
             split_rows=bool(split_rows), accum_f32=bool(accum_f32),
-            host_hoist=bool(host_hoist))
+            host_hoist=bool(host_hoist), keep_schedule=keep_schedule)
         if extras:
             p2 = p2.with_descriptor(**extras)
         return p2
@@ -398,6 +418,206 @@ def rewrite_lane_pack(program, g: int):
                   kron_args=(r_name,))
     return program.copy(einsum=e2,
                         schedule=get_trivial_contraction_schedule(e2)), extras
+
+
+def lane_pack_dg_applicable(einsum):
+    """Structure check for the DG-family lane-pack rewrite
+    (:func:`rewrite_lane_pack_dg`) — the small-ndof element-packing answer
+    to the reference's ``n_e_per_wg`` on 3-operand classes with a second
+    streamed "scale" factor (reference tuning/impls/
+    xre_rij_xej_to_ei_v4.py:41-114, batched_re_rij_ej_to_ei_v2.py:24-50).
+
+    Requires (same structure in every batch row):
+
+      * one RESIDENT operand (no long axis) carrying the output dof ``i``,
+        the contracted dof ``j``, and optional concrete axes ``m`` (div's
+        s, grad/curl's r, face's f);
+      * one MAIN streamed operand ``(lam_u..., el, j)`` with ``lam_u`` a
+        subset of the resident's ``m`` (face's flux (f,e,j));
+      * one SCALE streamed operand, either ``(el, s)`` with ``s`` in ``m``
+        (div's J) or ``(lam_j..., el)`` (mass/curl (e,), grad (x,r,e),
+        face (f,e));
+      * output ``(chi..., el, i)`` with ``chi`` a subset of ``lam_j``
+        (grad's x).
+
+    Returns a structure dict or ``None``."""
+    e = einsum
+    if e.n != 3:
+        return None
+    long_letters = [ix for ix, ln in e.index_to_dim_length.items()
+                    if isinstance(ln, SizeParam)]
+    if len(long_letters) != 1:
+        return None
+    el = long_letters[0]
+    out = tuple(e.out_idx_set)
+    if len(out) < 2 or out[-2] != el or out[-1] == el:
+        return None
+    i = out[-1]
+    chi = out[:-2]
+    if el in chi or i in chi:
+        return None
+    residents = [p for p, s in enumerate(e.in_idx_sets) if el not in s]
+    if len(residents) != 1:
+        return None
+    rp = residents[0]
+    rho = tuple(e.in_idx_sets[rp])
+    if i not in rho:
+        return None
+    streamed = [p for p in range(3) if p != rp]
+
+    def classify(up, jp):
+        s = tuple(e.in_idx_sets[up])
+        if not (len(s) >= 2 and s[-2] == el and s[-1] in rho and s[-1] != i
+                and s[-1] not in out and set(s[:-2]) <= set(rho) - {i}):
+            return None
+        j, lam_u = s[-1], s[:-2]
+        js = tuple(e.in_idx_sets[jp])
+        m = tuple(c for c in rho if c not in (i, j))
+        if len(js) == 2 and js[0] == el and js[1] in m:
+            variant, s_ax, lam_j = "A", js[1], ()
+        elif js[-1] == el and el not in js[:-1]:
+            variant, s_ax, lam_j = "B", None, js[:-1]
+            if not set(lam_j) <= set(m) | set(chi):
+                return None
+            if i in lam_j or j in lam_j:
+                return None
+        else:
+            return None
+        if not set(chi) <= set(lam_j):
+            return None
+        # every non-dof axis must be concrete (the long axis is el alone)
+        for c in set(rho) | set(lam_j) | {i, j}:
+            if c != el and isinstance(e.index_to_dim_length[c], SizeParam):
+                return None
+        return dict(el=el, i=i, j=j, chi=chi, rp=rp, up=up, jp=jp, rho=rho,
+                    m=m, lam_u=lam_u, lam_j=lam_j, variant=variant,
+                    s_ax=s_ax)
+
+    # div's J (e,s) and u (e,j) both fit the "main streamed" pattern (the
+    # roles are algebraically symmetric); prefer the assignment with the
+    # larger contracted dof (denser kron dots, 8-alignment at smaller g)
+    cands = [c for c in (classify(streamed[0], streamed[1]),
+                         classify(streamed[1], streamed[0])) if c]
+    if not cands:
+        return None
+    return max(cands, key=lambda c: int(e.index_to_dim_length[c["j"]]))
+
+
+def rewrite_lane_pack_dg(program, g: int):
+    """Rewrite a DG-class program (see :func:`lane_pack_dg_applicable`) for
+    ``lane_pack=g``: g consecutive elements share one packed dof row.
+
+    Packed computation (all contracts free row-major reshapes host-side,
+    all residents raw in-graph blocks — the Mosaic fast path):
+
+      * main streamed ``u -> (lam_u..., E/g, g*dj)``; resident
+        ``R -> T[m] = kron(I_g, R[m])`` (block-diagonal, in-graph);
+      * scale streamed packed to lanes and re-broadcast across each
+        element's ``di`` output lanes by ONE dot against a synthesized 0/1
+        expansion matrix (descriptor.lane_pack_expand) — no lane reshape,
+        no strided lane slicing;
+      * 3-step schedule: ``V = u' @ T`` (per-m MXU dots),
+        ``W = J' @ EXP``, then the elementwise product summed over the
+        shared concrete axes.
+
+    Returns ``(rewritten_program, descriptor_extras)``."""
+    import feinsum_tpu as f
+
+    e = program.einsum
+    info = lane_pack_dg_applicable(e)
+    if info is None:
+        raise InvalidParameterError(
+            "lane_pack (DG variant) applies only to 3-operand classes with"
+            " one resident, one (.., e, j) streamed and one scale streamed"
+            " operand")
+    el, i, j = info["el"], info["i"], info["j"]
+    di = int(e.index_to_dim_length[i])
+    dj = int(e.index_to_dim_length[j])
+    if (g * di) % 8 or (g * dj) % 8:
+        raise InvalidParameterError(
+            f"lane_pack={g}: packed dims ({g}*{di}, {g}*{dj}) must be"
+            f" 8-sublane-aligned")
+    if g * max(di, dj) > 4096:
+        raise InvalidParameterError(
+            f"lane_pack={g}: packed dim {g * max(di, dj)} exceeds the 4096"
+            f" resident cap")
+    used = set(e.index_to_dim_length) | set("".join(e.arg_to_shape))
+    fresh = (c for c in "abcdefghijklmnopqrstuvwxyz" if c not in used)
+    exp_name = "_lp_exp0"
+    long_name = f"N{el}_"
+
+    m, lam_u, lam_j = info["m"], info["lam_u"], info["lam_j"]
+    chi, rho = info["chi"], info["rho"]
+    sizes = {c: int(e.index_to_dim_length[c])
+             for c in set(rho) | set(lam_j) if c != el}
+    sizes[i] = g * di
+    sizes[j] = g * dj
+
+    jdt = e.args[0][info["jp"]].dtype.name
+    if info["variant"] == "A":
+        s_ax = info["s_ax"]
+        s_len = int(e.index_to_dim_length[s_ax])
+        pk = next(fresh)                       # packed-J lane axis (g*s)
+        sizes[pk] = g * s_len
+        j_sub = el + pk
+        exp_sub = s_ax + pk + i
+        exp_shape = (s_len, g * s_len, g * di)
+        expand = ((exp_name, "A", g, s_len, di, jdt),)
+        n_lead_j = 0
+        w_sub = s_ax + el + i
+    else:
+        pk = next(fresh)                       # group axis (g)
+        sizes[pk] = g
+        j_sub = "".join(lam_j) + el + pk
+        exp_sub = pk + i
+        exp_shape = (g, g * di)
+        expand = ((exp_name, "P", g, di, jdt),)
+        n_lead_j = len(lam_j)
+        w_sub = "".join(lam_j) + el + i
+
+    t_sub = "".join(m) + i + j
+    u_sub = "".join(lam_u) + el + j
+    v_sub = "".join(m) + el + i
+    out_sub = "".join(chi) + el + i
+    subs = f"{j_sub},{exp_sub},{t_sub},{u_sub}->{out_sub}"
+
+    def shp(sub):
+        return tuple(long_name if c == el else sizes[c] for c in sub)
+
+    rows = []
+    for r in range(e.b):
+        jarr = e.args[r][info["jp"]]
+        rarr = e.args[r][info["rp"]]
+        uarr = e.args[r][info["up"]]
+        rows.append([f.array(jarr.name, shp(j_sub), jarr.dtype.name),
+                     f.array(exp_name, exp_shape, jdt),
+                     f.array(rarr.name, shp(t_sub), rarr.dtype.name),
+                     f.array(uarr.name, shp(u_sub), uarr.dtype.name)])
+    e2 = f.batched_einsum(subs, rows)
+
+    from feinsum_tpu.contraction_schedule import (
+        ContractionSchedule, EinsumOperand, IntermediateResult)
+    schedule = ContractionSchedule(
+        subscripts=(f"{u_sub},{t_sub}->{v_sub}",
+                    f"{j_sub},{exp_sub}->{w_sub}",
+                    f"{v_sub},{w_sub}->{out_sub}"),
+        result_names=("_lp_v", "_lp_w", "_fe_out"),
+        arguments=((EinsumOperand(3), EinsumOperand(2)),
+                   (EinsumOperand(0), EinsumOperand(1)),
+                   (IntermediateResult("_lp_v"),
+                    IntermediateResult("_lp_w"))))
+
+    # kron perm: resident logical axes -> (m..., i, j)
+    perm = tuple(rho.index(c) for c in m + (i, j))
+    pack_args = {(e.args[r][info["jp"]].name, n_lead_j) for r in range(e.b)}
+    pack_args |= {(e.args[r][info["up"]].name, len(lam_u))
+                  for r in range(e.b)}
+    kron_args = {(e.args[r][info["rp"]].name, perm) for r in range(e.b)}
+    extras = dict(lane_pack=int(g),
+                  lane_pack_args=tuple(sorted(pack_args)),
+                  kron_args=tuple(sorted(kron_args)),
+                  lane_pack_expand=expand)
+    return program.copy(einsum=e2, schedule=schedule), extras
 
 
 def rowcat_applicable(einsum) -> bool:

@@ -120,6 +120,19 @@ if __name__ == "__main__":
         for lb, bc in ((17, 0), (18, 0), (16, 0), (0, 20), (0, 24))
         for jf, mf in ((True, False), (False, True), (False, False))
         for rc in (False, True)]
+    # r4 DG lane-pack seeds (the P1/P2 unlock, VERDICT r3 #3): dense
+    # packed lanes x rowcat; misaligned g's raise fast and score as
+    # failures, so every class can share one seed list
+    seeds += [
+        {"log2_block": lb, "blkc128": bc, "dofmajor": True, "fold": fd,
+         "preblock": False, "precision_3x": False, "hoist": False,
+         "jfold": False, "mfold": False, "prereduce": False,
+         "lane_pack_g": lg, "rowcat": rc, "parallel_grid": True,
+         "vmem_idx": 2, "split_rows": False, "accum_f32": False,
+         "host_hoist": True}
+        for lg in (2, 3, 4, 5)
+        for rc in (False, True)
+        for lb, bc, fd in ((17, 0, True), (0, 20, True), (14, 0, False))]
     space = get_transform_func_from_module_path(impl).get_param_space(
         f.canonicalize_einsum(einsum))
     projected, seen = [], set()

@@ -393,3 +393,51 @@ def test_default_spot_check_skips_corrupted_archive_row(tmp_path):
                                     device=f.FakeDevice("TPU v5 lite"),
                                     long_dim_length=500)
     _close(fn2(u, M), user(u, M))
+
+
+def test_dg_lane_pack_champion_served_from_archive(tmp_path):
+    """A planted DG lane-pack champion (div class, g=4 + rowcat) replays
+    through compile_fn_with_archive: pack/kron/expand contracts applied,
+    packed rowcat output unpacked and row-sliced, values match."""
+    from feinsum_tpu import sql_utils
+
+    db = str(tmp_path / "scratch.sqlite")
+    e = f.batched_einsum(
+        "es,sij,ej->ei",
+        [[f.array(jn, ("E", 3), "float32"),
+          f.array("R", (3, 4, 4), "float32"),
+          f.array(un, ("E", 4), "float32")]
+         for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
+    params = {"log2_block": 10, "blkc128": 0, "dofmajor": False,
+              "fold": False, "preblock": False, "precision_3x": False,
+              "hoist": False, "jfold": False, "mfold": False,
+              "prereduce": False, "lane_pack_g": 2, "parallel_grid": True,
+              "vmem_idx": 2, "split_rows": False, "accum_f32": False,
+              "host_hoist": True, "rowcat": True}
+    sql_utils.record_facts(e, transform_id="dg_div_v0.py",
+                           transform_params=params, runtime_in_sec=1e-4,
+                           device=f.FakeDevice("TPU v5 lite"), db_path=db,
+                           long_dim_length=2048)
+
+    rng = np.random.default_rng(11)
+    d = {n: jnp.asarray(rng.random(s, np.float32))
+         for n, s in [("Jx", (2048, 3)), ("Jy", (2048, 3)),
+                      ("Jz", (2048, 3)), ("R", (3, 4, 4)),
+                      ("ux", (2048, 4)), ("uy", (2048, 4)),
+                      ("uz", (2048, 4))]}
+
+    def user(Jx, Jy, Jz, R, ux, uy, uz):
+        return (jnp.einsum("es,sij,ej->ei", Jx, R, ux),
+                jnp.einsum("es,sij,ej->ei", Jy, R, uy),
+                jnp.einsum("es,sij,ej->ei", Jz, R, uz))
+
+    args = [d[n] for n in ("Jx", "Jy", "Jz", "R", "ux", "uy", "uz")]
+    fn2 = f.compile_fn_with_archive(user, args, db_path=db,
+                                    device=f.FakeDevice("TPU v5 lite"),
+                                    long_dim_length=500)
+    prog = fn2.plans[0][2]
+    assert prog.descriptor.lane_pack == 4
+    assert prog.descriptor.rowcat == 3
+    got, ref = fn2(*args), user(*args)
+    for g_, r_ in zip(got, ref):
+        _close(g_, r_)

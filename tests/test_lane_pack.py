@@ -53,9 +53,12 @@ def test_lane_pack_gates_by_class():
           f.array(u, ("E", 5), "float32")]
          for j, u in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")]])
     p = sp.get_param_space(div)["lane_pack_g"]
-    assert isinstance(p, IntParameter) and p.high == 0   # gated off
+    # r4: the DG variant opened the gate for the div class too
+    assert isinstance(p, IntParameter) and p.high == 5
     rowsum = f.einsum("ej->e", f.array("A", ("E", 35), "float32"))
     assert lane_packable(rowsum) is None        # single operand: no resident
+    p0 = sp.get_param_space(rowsum)["lane_pack_g"]
+    assert p0.high == 0                          # still gated off
     assert lane_packable(matvec()) is not None
     p2 = sp.get_param_space(matvec())["lane_pack_g"]
     assert p2.high == 5
@@ -123,3 +126,124 @@ def test_lane_pack_vecmat_variant():
     prog = f.generate_program(vm)
     with pytest.raises(InvalidParameterError, match="8-sublane"):
         rewrite_lane_pack(prog, 2)
+
+
+# {{{ DG-family lane_pack (VERDICT r3 #3): div/grad/curl/mass/face classes
+# pack too — the second streamed factor is lane-expanded by a dot against a
+# synthesized 0/1 matrix (descriptor.lane_pack_expand)
+
+def _div(ndof, b=3):
+    rows = [[f.array(jn, ("E", 3), "float32"),
+             f.array("R", (3, ndof, ndof), "float32"),
+             f.array(un, ("E", ndof), "float32")]
+            for jn, un in [("Jx", "ux"), ("Jy", "uy"), ("Jz", "uz")][:b]]
+    return f.batched_einsum("es,sij,ej->ei", rows)
+
+
+def _grad(ndof):
+    return f.einsum("xre,rij,ej->xei",
+                    f.array("J", (3, 3, "E"), "float32"),
+                    f.array("D", (3, ndof, ndof), "float32"),
+                    f.array("u", ("E", ndof), "float32"))
+
+
+def _curl(ndof):
+    return f.batched_einsum(
+        "e,rij,ej->ei",
+        [[f.array(j, ("E",), "float32"),
+          f.array("D", (3, ndof, ndof), "float32"),
+          f.array(u, ("E", ndof), "float32")]
+         for j, u in [("Jy", "uz"), ("Jz", "ux"), ("Jx", "uy")]])
+
+
+def _face(ndof):
+    return f.einsum("ifj,fe,fej->ei",
+                    f.array("L", (ndof, 4, 15), "float32"),
+                    f.array("Fj", (4, "E"), "float32"),
+                    f.array("flux", (4, "E", 15), "float32"))
+
+
+def _mass(ndof):
+    return f.einsum("e,ij,ej->ei",
+                    f.array("jac", ("E",), "float32"),
+                    f.array("M", (ndof, ndof), "float32"),
+                    f.array("u", ("E", ndof), "float32"))
+
+
+@pytest.mark.parametrize("mk,lg", [
+    (lambda: _div(4), 1), (lambda: _div(4, b=1), 3), (lambda: _div(10), 2),
+    (lambda: _grad(4), 2), (lambda: _grad(10), 2), (lambda: _curl(4), 2),
+    (lambda: _mass(8), 3), (lambda: _face(35), 3)])
+def test_lane_pack_dg_validates_against_oracle(mk, lg):
+    from feinsum_tpu.tuning.impls._common import lane_pack_dg_applicable
+    sp = get_transform_func_from_module_path("dg_div_v0")
+    e = mk()
+    assert lane_pack_dg_applicable(e)
+    # block >= E keeps interpret-mode Pallas at grid=1 (CPU compile-time
+    # cliff, CLAUDE.md); the rewrite itself is grid-agnostic
+    for dofmajor in (False, True):
+        tr = sp.bind_args(e, log2_block=9, dofmajor=dofmajor,
+                          parallel_grid=True, lane_pack_g=lg)
+        f.validate_batched_einsum_transform(e, tr, long_dim_length=512)
+
+
+def test_lane_pack_dg_composes_with_rowcat():
+    sp = get_transform_func_from_module_path("dg_div_v0")
+    for e in (_div(4), _curl(4)):
+        tr = sp.bind_args(e, log2_block=9, dofmajor=True,
+                          parallel_grid=True, rowcat=True, lane_pack_g=1)
+        f.validate_batched_einsum_transform(e, tr, long_dim_length=512)
+
+
+def test_lane_pack_dg_rejects_schedule_knobs():
+    sp = get_transform_func_from_module_path("dg_div_v0")
+    e = _div(4)
+    for bad in (dict(hoist=True), dict(jfold=True), dict(mfold=True)):
+        with pytest.raises(InvalidParameterError):
+            sp.bind_args(e, log2_block=9, dofmajor=False,
+                         parallel_grid=True, lane_pack_g=1,
+                         **bad)(f.generate_program(f.canonicalize_einsum(e)))
+
+
+def test_lane_pack_dg_alignment_guard():
+    from feinsum_tpu.tuning.impls._common import rewrite_lane_pack_dg
+    e = _div(10)   # 1*10 lanes not 8-aligned
+    with pytest.raises(InvalidParameterError):
+        rewrite_lane_pack_dg(f.generate_program(e), 2 ** 0)
+
+
+def test_lane_pack_dg_fold_composes():
+    sp = get_transform_func_from_module_path("dg_div_v0")
+    e = _grad(4)
+    tr = sp.bind_args(e, log2_block=9, dofmajor=True, fold=True,
+                      parallel_grid=True, lane_pack_g=2)
+    f.validate_batched_einsum_transform(e, tr, long_dim_length=512)
+
+
+def test_lane_pack_dg_unpack_output_roundtrip():
+    """build_executable + unpack_output delivers the logical grad output
+    (3D packed storage: (x, E/g, g*di))."""
+    import jax.numpy as jnp
+    from feinsum_tpu.tuning.impls._common import (
+        fused_pallas_program, rewrite_lane_pack_dg)
+    from feinsum_tpu.measure import apply_layouts, generate_input_arrays
+
+    e = _grad(4)
+    g = 4
+    prog = f.generate_program(e)
+    p2, extras = rewrite_lane_pack_dg(prog, g)
+    p2 = fused_pallas_program(p2, block_long=512, hoist=False,
+                              parallel_grid=True, keep_schedule=True)
+    p2 = p2.with_descriptor(**extras)
+    arrays = generate_input_arrays(e, long_dim_length=512, as_numpy=True)
+    fn = f.build_executable(p2, long_dim_length=512)
+    (out,) = fn(apply_layouts(p2, arrays))
+    assert out.shape == (3, 512 // g, g * 4)
+    logical = f.unpack_output(p2, np.asarray(out), (3, 512, 4))
+    ref = np.einsum("xre,rij,ej->xei",
+                    arrays["J"].astype(np.float64),
+                    arrays["D"].astype(np.float64),
+                    arrays["u"].astype(np.float64))
+    np.testing.assert_allclose(logical, ref, rtol=2e-5, atol=2e-5)
+
+# }}}

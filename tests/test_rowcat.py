@@ -102,13 +102,10 @@ def test_rowcat_champion_replays_through_apply(tmp_path):
                                rtol=2e-5, atol=2e-5 * scale)
 
 
-def test_rowcat_lane_pack_combination_rejected():
-    """r3 review #5: the two rewrites both produce descriptor extras — the
-    second would silently overwrite the first's (dropping rowcat_args), so
-    the combination is rejected up front (bind_args skips space
-    validation)."""
-    # a batched matvec class: rowcat-applicable (rows share D) AND
-    # lane-packable
+def test_rowcat_lane_pack_composes():
+    """r3 rejected this combination (extras overwrote each other); r4
+    merges the extras dicts, so rowcat (1/b grid steps) and lane_pack
+    (dense lanes) stack — the batched small-ndof unlock."""
     mv = f.batched_einsum(
         "ej,ij->ei",
         [[f.array(u, ("E", 4), "float32"),
@@ -116,6 +113,8 @@ def test_rowcat_lane_pack_combination_rejected():
          for u in ("ux", "uy")])
     sp = get_transform_func_from_module_path("mass_v0")
     tr = sp.bind_args(mv, log2_block=10, dofmajor=True, parallel_grid=True,
-                      rowcat=True, lane_pack_g=1)
-    with pytest.raises(InvalidParameterError, match="cannot compose"):
-        tr(f.generate_program(mv))
+                      rowcat=True, lane_pack_g=2)
+    f.validate_batched_einsum_transform(mv, tr, long_dim_length=1024)
+    prog = tr(f.generate_program(f.canonicalize_einsum(mv)))
+    assert prog.descriptor.rowcat == 2
+    assert prog.descriptor.lane_pack == 4
