@@ -189,6 +189,10 @@ run_bench
 # decides whether div/grad get a lane_pack rewrite next round
 run 1200 python scripts/tpu_lane_reshape_probe.py
 
+# 14: consumer path end-to-end at E=1M (VERDICT r3 #7): plan latency,
+# full-length numeric check, compiled-vs-raw-XLA per-call ratio
+run 1800 python scripts/tpu_consumer_probe.py
+
 # opportunistic: fill any window left before the deadline with extra
 # tuning cycles on the weakest rows.  Safe for the driver's capture:
 # autotune compiles every measured config at the bench shapes (E=1M)
