@@ -12,6 +12,8 @@ reporting against TPU MXU-peak / HBM-bandwidth tables.
 from .algebraic import (
     extract_multiplicative_terms_in_sum_reduction_as_subst,
     hoist_cses,
+    hoist_cses_in_fn,
+    hoist_cses_in_jaxpr,
     hoist_invariant_multiplicative_terms_in_sum_reduction,
 )
 from .canonicalization import (
@@ -153,6 +155,8 @@ __all__ = (
     "get_timed_einsums_in_db",
     "get_trivial_contraction_schedule",
     "hoist_cses",
+    "hoist_cses_in_fn",
+    "hoist_cses_in_jaxpr",
     "hoist_invariant_multiplicative_terms_in_sum_reduction",
     "identify_as_einsum",
     "match_fn_to_einsum",

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+
 from .codegen.program import EinsumProgram
 from .contraction_schedule import (
     ContractionSchedule,
@@ -119,3 +121,97 @@ def hoist_cses(program: EinsumProgram) -> EinsumProgram:
     return program.copy(schedule=ContractionSchedule(
         subscripts=tuple(subscripts), result_names=tuple(result_names),
         arguments=tuple(arguments)))
+
+
+def hoist_cses_in_jaxpr(closed):
+    """Hash-cons a traced jaxpr: equations computing the same value (same
+    primitive, same params, same — canonicalized — inputs) collapse to one,
+    and every later reference is rewired to the first occurrence.
+
+    This is the expression-level analog of the reference's user-kernel CSE
+    pass (``loopy_utils/cse.py:45-448``, NSuccRecorder + CSEMapper): there a
+    DAG walk over loopy expressions assigns successor-counted subexpressions
+    to predicate-guarded temporaries; a jaxpr is already in ANF (every
+    subexpression IS a named assignment, so successor counting is implicit)
+    and its equations are effect-free (no predicate guards needed — values
+    inside ``cond`` branches live in sub-jaxprs, which are left alone,
+    matching the reference's same-loop-nest restriction).  JAX *tracing*
+    does not deduplicate: a user computing ``2*J+1`` as the operand of two
+    einsum calls produces two equation chains, which inflate the matcher's
+    backward slices and the consumer path's epilogue replays.
+
+    Equations whose params contain unhashable values (sub-jaxprs, arrays)
+    or that carry effects are kept verbatim (inputs still rewired)."""
+    from jax.extend.core import ClosedJaxpr, Literal, Var
+
+    jaxpr = closed.jaxpr
+    canon: dict = {}         # Var -> canonical Var (identity-keyed)
+
+    def atom_key(a):
+        if isinstance(a, Literal):
+            v = np.asarray(a.val)
+            if v.ndim == 0:
+                return ("lit", str(v.dtype), v.item())
+            return ("lit-arr", id(a))          # arrays: unique, no CSE
+        return ("var", id(canon.get(a, a)))
+
+    def freeze(x):
+        if isinstance(x, dict):
+            return tuple(sorted((k, freeze(v)) for k, v in x.items()))
+        if isinstance(x, (list, tuple)):
+            return tuple(freeze(v) for v in x)
+        try:
+            hash(x)
+            return x
+        except TypeError:
+            return ("unhashable", id(x))       # sub-jaxprs etc: unique
+
+    seen: dict = {}
+    new_eqns = []
+    for eqn in jaxpr.eqns:
+        invars = [canon.get(a, a) if isinstance(a, Var) else a
+                  for a in eqn.invars]
+        eqn = eqn.replace(invars=invars)
+        if eqn.effects:
+            new_eqns.append(eqn)
+            continue
+        key = (eqn.primitive.name, freeze(eqn.params),
+               tuple(atom_key(a) for a in invars),
+               tuple(str(v.aval) for v in eqn.outvars))
+        prev = seen.get(key)
+        if prev is not None:
+            for old, new in zip(eqn.outvars, prev):
+                canon[old] = new
+            continue
+        seen[key] = eqn.outvars
+        new_eqns.append(eqn)
+    if len(new_eqns) == len(jaxpr.eqns):
+        return closed
+    outvars = [canon.get(v, v) if isinstance(v, Var) else v
+               for v in jaxpr.outvars]
+    return ClosedJaxpr(jaxpr.replace(eqns=new_eqns, outvars=outvars),
+                       closed.consts)
+
+
+def hoist_cses_in_fn(fn, example_args):
+    """User-facing analog of the reference's ``hoist_cses`` on a traced
+    function: returns a callable computing exactly what *fn* computes with
+    repeated subexpressions evaluated once (:func:`hoist_cses_in_jaxpr`).
+    Mostly useful for inspection — XLA re-CSEs under ``jit`` anyway, but
+    the matcher and :func:`~feinsum_tpu.compile_fn_with_archive` call the
+    jaxpr-level pass internally, where it shrinks backward slices and
+    epilogue replays."""
+    import jax
+    from jax.extend.core import jaxpr_as_fun
+
+    closed = jax.make_jaxpr(fn)(*example_args)
+    deduped = hoist_cses_in_jaxpr(closed)
+    out_tree = jax.tree_util.tree_structure(
+        jax.eval_shape(fn, *example_args))
+
+    def fn2(*args):
+        flat = jax.tree_util.tree_leaves(args)
+        return jax.tree_util.tree_unflatten(out_tree,
+                                            jaxpr_as_fun(deduped)(*flat))
+
+    return fn2

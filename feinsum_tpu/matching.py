@@ -223,6 +223,12 @@ def _collect_instructions(fn: Callable, example_args: Sequence, *,
     arg_names = list(arg_names)
 
     closed, out_shape = _trace(fn, example_args)
+    # expression-level CSE first (reference hoist_cses, cse.py:45-448):
+    # tracing duplicates repeated subexpressions (two einsums over the same
+    # 2*J+1 operand trace two chains); hash-consing collapses them so the
+    # union-find sees ONE expr operand and backward slices stay minimal
+    from .algebraic import hoist_cses_in_jaxpr
+    closed = hoist_cses_in_jaxpr(closed)
     jaxpr = closed.jaxpr
 
     labels = _Labels()
