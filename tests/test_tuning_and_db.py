@@ -554,3 +554,117 @@ def test_bench_deadline_self_limit(monkeypatch, tmp_path, capsys):
     monkeypatch.setattr(bench, "_LAST_GREEN", str(tmp_path / "missing.json"))
     assert bench._emit_stale_line("reason") is False
     assert capsys.readouterr().out.strip() == ""
+
+
+# {{{ analytic cost model (tuning/cost_model.py): the proposal ranker
+
+def test_cost_model_prefers_known_layout_truths():
+    """Qualitative checks against measured v5e facts: dof-major storage
+    beats row-major for short-dof streams (3.66x lane padding), and bigger
+    blocks beat tiny ones (per-grid-step overhead)."""
+    from feinsum_tpu.codegen.program import get_index_lengths
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+    from feinsum_tpu.tuning.cost_model import predict_for_params
+
+    base = dict(log2_block=15, blkc128=0, parallel_grid=True, hoist=False,
+                fold=False, preblock=False, precision_3x=False, jfold=False,
+                mfold=False, prereduce=False, lane_pack_g=0, rowcat=False,
+                vmem_idx=2, split_rows=False, accum_f32=False,
+                host_hoist=True)
+    # dot-free copy class: pure streaming, so storage layout dominates —
+    # a (E,35) row-major stream pads 35 lanes to 128 (3.66x), dof-major
+    # (35,E) only 35 sublanes to 40
+    cp = f.canonicalize_einsum(
+        f.einsum("ij,ij->ij", f.array("A", ("E", 35), "float32"),
+                 f.array("B", ("E", 35), "float32")))
+    spc = get_transform_func_from_module_path("elementwise_v1")
+    lengths_c = get_index_lengths(cp, 1_000_000)
+    space_c = spc.get_param_space(cp)
+    base_c = {k: base[k] for k in space_c if k in base}
+    base_c["flatten"] = False
+    t_rowmajor = predict_for_params(spc, cp, dict(base_c, dofmajor=False),
+                                    lengths_c, "TPU_v5_lite")
+    t_dofmajor = predict_for_params(spc, cp, dict(base_c, dofmajor=True),
+                                    lengths_c, "TPU_v5_lite")
+    assert t_dofmajor < t_rowmajor            # lane padding priced
+    # matvec class: per-grid-step overhead separates block sizes
+    e = f.canonicalize_einsum(
+        f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                 f.array("D", (20, 20), "float32")))
+    sp = get_transform_func_from_module_path("mass_v0")
+    lengths = get_index_lengths(e, 1_000_000)
+    t_big = predict_for_params(sp, e, dict(base, dofmajor=True), lengths,
+                               "TPU_v5_lite")
+    t_tiny_blocks = predict_for_params(
+        sp, e, dict(base, dofmajor=True, log2_block=8), lengths,
+        "TPU_v5_lite")
+    assert t_big < t_tiny_blocks              # grid-step overhead priced
+    # a structurally invalid point ranks as None, never raises
+    e35 = f.canonicalize_einsum(
+        f.einsum("ej,ij->ei", f.array("u", ("E", 35), "float32"),
+                 f.array("D", (35, 35), "float32")))
+    assert predict_for_params(sp, e35, dict(base, dofmajor=False,
+                                            lane_pack_g=1),  # 70 % 8 != 0
+                              get_index_lengths(e35, 1_000_000),
+                              "TPU_v5_lite") is None
+
+
+def test_cost_model_ranks_shipped_archive():
+    """Against the shipped archive's matvec class (81 measured rows): rank
+    correlation must stay positive and the measured champion must land in
+    the predicted top quartile — the property that makes model-guided
+    proposals worth their compiles.  Deterministic: fixed archive, fixed
+    model."""
+    import numpy as np
+
+    from feinsum_tpu import sql_utils
+    from feinsum_tpu.codegen.program import get_index_lengths
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+    from feinsum_tpu.tuning.cost_model import predict_for_params
+
+    e = f.canonicalize_einsum(
+        f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                 f.array("D", (20, 20), "float32")))
+    qs = [q for q in sql_utils.query(e, f.FakeDevice("TPU v5 lite"),
+                                     err_if_no_results=False)
+          if np.isfinite(q.runtime_in_sec)]
+    assert len(qs) >= 30
+    lengths = get_index_lengths(e, 1_000_000)
+    preds, meas = [], []
+    for q in qs:
+        sp = get_transform_func_from_module_path(q.transform_id)
+        p = predict_for_params(sp, e, dict(q.transform_params), lengths,
+                               "TPU_v5_lite")
+        if p is not None:
+            preds.append(p)
+            meas.append(q.runtime_in_sec)
+    preds, meas = np.asarray(preds), np.asarray(meas)
+    assert len(preds) >= 30
+    ra = np.argsort(np.argsort(preds)).astype(float)
+    rb = np.argsort(np.argsort(meas)).astype(float)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    rho = float((ra * rb).sum()
+                / np.sqrt((ra * ra).sum() * (rb * rb).sum()))
+    assert rho > 0.3, rho
+    champ = int(np.argmin(meas))
+    champ_rank = int(np.sum(preds < preds[champ]))
+    assert champ_rank <= len(preds) // 4, (champ_rank, len(preds))
+
+
+def test_autotune_model_guided_proposals_run(tmp_path):
+    """cost_model=True path executes end-to-end on a tiny CPU search."""
+    from feinsum_tpu.tuning import autotune
+
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 16), "float32"),
+                 f.array("D", (16, 16), "float32"))
+    db = str(tmp_path / "t.sqlite")
+    autotune(e, "mass_v0", db_path=db, device=f.FakeDevice("TPU v5 lite"),
+             long_dim_length=512, test_limit=3, cost_model=True,
+             timeit_kwargs=dict(min_rounds=1, min_seconds=0.01,
+                                validation_long_dim_length=512))
+    from feinsum_tpu import sql_utils
+    assert sql_utils.query(e, f.FakeDevice("TPU v5 lite"), db_path=db,
+                           err_if_no_results=False)
+
+# }}}
