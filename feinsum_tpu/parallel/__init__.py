@@ -246,3 +246,83 @@ def make_mesh(shape: dict):
     n_dev = int(np.prod(dims))
     devices = np.array(jax.devices()[:n_dev]).reshape(dims)
     return Mesh(devices, names)
+
+
+def pipeline_stage_executable(stage_fns, mesh, *, stage_axis: str = "stage",
+                              n_microbatches: int,
+                              carry_shape_dtype):
+    """GPipe-style pipeline parallelism (PP) over *stage_axis*: device ``s``
+    of the stage ring owns ``stage_fns[s]`` and microbatches flow through
+    the ring via ``ppermute`` (ICI neighbor hops, never DCN), with the
+    standard ``S - 1``-tick fill/drain bubble.
+
+    ``stage_fns[s] (microbatch_inputs, carry) -> carry`` must all return
+    the ``carry_shape_dtype``-shaped activation (a
+    ``jax.ShapeDtypeStruct``).  *Inputs* to the returned function form a
+    pytree whose leaves carry a leading ``n_microbatches`` axis; every
+    stage receives the current microbatch's slice (replicated inputs — PP
+    shards COMPUTE, an outer DP/TP mesh shards data; compose via a 2-axis
+    mesh and the other executables in this module).
+
+    Returns ``fn(inputs) -> (n_microbatches, *carry_shape)`` — the final
+    stage's activations, replicated across the ring.
+
+    This is the multi-chip analog of the reference's multi-kernel operator
+    chains (SURVEY §2.4 stretch): each schedule stage (e.g. wave RHS =
+    div -> mass+axpy) lives on its own device group and the element
+    stream is microbatched through them."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_stages = mesh.shape[stage_axis]
+    if len(stage_fns) != n_stages:
+        raise ValueError(
+            f"{len(stage_fns)} stage fns for a {n_stages}-stage mesh axis")
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+    n_ticks = n_microbatches + n_stages - 1
+    carry0 = jnp.zeros(carry_shape_dtype.shape, carry_shape_dtype.dtype)
+
+    def ring(inputs):
+        s = jax.lax.axis_index(stage_axis)
+        is_last = s == n_stages - 1
+        outs0 = jnp.zeros((n_microbatches,) + carry0.shape, carry0.dtype)
+        # the loop carries become device-varying after the first ppermute;
+        # mark the unvarying zero inits so fori_loop's carry types match
+        init = jax.tree_util.tree_map(
+            lambda a: jax.lax.pcast(a, (stage_axis,), to="varying"),
+            (carry0, outs0))
+
+        def tick(t, state):
+            carry, outs = state
+            m = t - s
+            valid = (m >= 0) & (m < n_microbatches)
+            m_c = jnp.clip(m, 0, n_microbatches - 1)
+            chunk = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, m_c, 0,
+                                                       keepdims=False),
+                inputs)
+            new = jax.lax.switch(s, list(stage_fns), chunk, carry)
+            new = jnp.where(valid, new, jnp.zeros_like(new))
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, jnp.where(valid & is_last, new, outs[m_c]), m_c, 0)
+            # hand the activation to the next stage over ICI (ring hop);
+            # stage 0 receives zeros, which it never reads
+            carry = jax.lax.ppermute(new, stage_axis, perm) \
+                if perm else new
+            return carry, outs
+
+        _, outs = jax.lax.fori_loop(0, n_ticks, tick, init)
+        # only the last stage holds real outputs; psum replicates them
+        outs = jnp.where(is_last, outs, jnp.zeros_like(outs))
+        return jax.lax.psum(outs, stage_axis)
+
+    def fn(inputs):
+        sharded = shard_map(
+            ring, mesh=mesh,
+            in_specs=(jax.tree_util.tree_map(lambda _: P(), inputs),),
+            out_specs=P())
+        return sharded(inputs)
+
+    return jax.jit(fn)

@@ -275,3 +275,70 @@ def test_row_sharding_matches_oracle():
             np.testing.assert_allclose(
                 np.asarray(out[i]), expected[i], rtol=2e-5,
                 atol=2e-5 * abs(expected[i]).max())
+
+
+def test_pipeline_stage_executable_matches_oracle():
+    """PP (GPipe-style ppermute ring) over a 2-stage mesh: wave RHS split
+    as div -> mass+axpy, microbatched; outputs match the per-microbatch
+    numpy oracle. (SURVEY §2.4 stretch: the pp member of tp/pp/dp/sp/ep.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from feinsum_tpu.parallel import make_mesh, pipeline_stage_executable
+
+    ndof, mb, n_micro = 8, 16, 4
+    mesh = make_mesh({"stage": 2})
+    rng = np.random.default_rng(0)
+    inputs = {
+        "J": jnp.asarray(rng.random((n_micro, mb, 3), np.float32)),
+        "R": jnp.broadcast_to(
+            jnp.asarray(rng.random((3, ndof, ndof), np.float32)),
+            (n_micro, 3, ndof, ndof)),
+        "u": jnp.asarray(rng.random((n_micro, mb, ndof), np.float32)),
+        "jac": jnp.asarray(rng.random((n_micro, mb), np.float32)),
+        "M": jnp.broadcast_to(
+            jnp.asarray(rng.random((ndof, ndof), np.float32)),
+            (n_micro, ndof, ndof)),
+    }
+
+    def stage0(chunk, carry):
+        return jnp.einsum("es,sij,ej->ei", chunk["J"], chunk["R"],
+                          chunk["u"])
+
+    def stage1(chunk, carry):
+        return carry - 0.5 * jnp.einsum("e,ij,ej->ei", chunk["jac"],
+                                        chunk["M"], chunk["u"])
+
+    fn = pipeline_stage_executable(
+        [stage0, stage1], mesh, n_microbatches=n_micro,
+        carry_shape_dtype=jax.ShapeDtypeStruct((mb, ndof), jnp.float32))
+    out = np.asarray(fn(inputs))
+    ref = np.stack([
+        np.einsum("es,sij,ej->ei", inputs["J"][m], inputs["R"][m],
+                  inputs["u"][m])
+        - 0.5 * np.einsum("e,ij,ej->ei", inputs["jac"][m], inputs["M"][m],
+                          inputs["u"][m])
+        for m in range(n_micro)])
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_four_stages_deep_bubble():
+    import jax
+    import jax.numpy as jnp
+
+    from feinsum_tpu.parallel import make_mesh, pipeline_stage_executable
+
+    mesh = make_mesh({"stage": 4})
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.random((3, 16, 8), np.float32))
+
+    def mk(i):
+        def sfn(chunk, carry):
+            return carry + (i + 1.0) * chunk["u"]
+        return sfn
+
+    fn = pipeline_stage_executable(
+        [mk(i) for i in range(4)], mesh, n_microbatches=3,
+        carry_shape_dtype=jax.ShapeDtypeStruct((16, 8), jnp.float32))
+    np.testing.assert_allclose(np.asarray(fn({"u": u})),
+                               10.0 * np.asarray(u), rtol=1e-6)
