@@ -271,7 +271,8 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
              seed: int = 0,
              seed_configs: Optional[list] = None,
              timeit_kwargs: Optional[dict] = None,
-             cost_model: bool = True) -> None:
+             cost_model: bool = True,
+             shard: Optional[tuple] = None) -> None:
     """Explore *module_path*'s transform space on *einsum*, recording every
     measured point into the archive (parity: reference
     tuning/__init__.py:573-633; search driver is first-party: seeded random +
@@ -285,7 +286,16 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
     ~11%, so spending compiles on the predicted-best candidates finds
     champions several times sooner.  A 25% exploration share still
     measures uniform-random points so the model can never fence off part
-    of the space."""
+    of the space.
+
+    *shard* = ``(index, count)`` partitions the sweep across concurrent
+    processes (SURVEY §5: shard the measurement sweep over TPU chips —
+    one process per chip, the shared sqlite archive is the
+    synchronization point): proposals are deterministically hashed into
+    *count* buckets and this process only measures bucket *index*;
+    explicit *seed_configs* are exempt (caller-directed).  Every shard
+    still seeds from and dedups against the shared DB, so results
+    compose."""
     from .. import sql_utils
     from ..canonicalization import canonicalize_einsum
     from ..measure import timeit
@@ -357,9 +367,17 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
         except Exception:  # noqa: BLE001
             predictor = None
 
+    def in_shard(params: dict) -> bool:
+        if shard is None:
+            return True
+        import zlib
+        idx, count = shard
+        h = zlib.crc32(repr(_freeze(params)).encode())
+        return h % int(count) == int(idx)
+
     def propose() -> dict:
         if pending:
-            return pending.pop(0)
+            return ("pending", pending.pop(0))
         if results and rng.random() < 0.5:
             # mutate one of the top-3 configs
             best = sorted(results, key=lambda rp: rp[0])[:3]
@@ -367,7 +385,7 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
             cfg = _params_to_config(space, base)
             key, p = flat[int(rng.integers(0, len(flat)))]
             cfg[key] = p.mutate(cfg[key], rng)
-            return _config_to_params(space, cfg)
+            return ("search", _config_to_params(space, cfg))
         if predictor is not None and rng.random() < 0.75:
             # model-ranked pool: spend the compile on the predicted-best
             # unseen candidate (the 25% complement stays uniform-random)
@@ -381,8 +399,8 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
                     pool.append(cand)
                     scores.append(s)
             if pool:
-                return pool[int(np.argmin(scores))]
-        return {name: p.sample(rng) for name, p in space.items()}
+                return ("search", pool[int(np.argmin(scores))])
+        return ("search", {name: p.sample(rng) for name, p in space.items()})
 
     # per-run failure accounting: an emitter regression that kills every
     # point must not masquerade as "a lot of bad configs" (VERDICT r1 weak
@@ -399,10 +417,13 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
             break
         params = None
         for _attempt in range(64):
-            cand = propose()
-            if _freeze(cand) not in seen:
-                params = cand
-                break
+            kind, cand = propose()
+            if _freeze(cand) in seen:
+                continue
+            if kind == "search" and not in_shard(cand):
+                continue          # another shard's bucket (seeds exempt)
+            params = cand
+            break
         if params is None:
             logger.info("search space exhausted (or all known)")
             break

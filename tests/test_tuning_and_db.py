@@ -668,3 +668,36 @@ def test_autotune_model_guided_proposals_run(tmp_path):
                            err_if_no_results=False)
 
 # }}}
+
+
+def test_autotune_shards_partition_the_sweep(tmp_path):
+    """SURVEY §5: the measurement sweep shards across chips as concurrent
+    processes sharing one archive — proposals hash into disjoint buckets,
+    both shards record into the same DB, and the union seeds later runs."""
+    from feinsum_tpu import sql_utils
+    from feinsum_tpu.tuning import autotune
+
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 16), "float32"),
+                 f.array("D", (16, 16), "float32"))
+    db = str(tmp_path / "t.sqlite")
+    kw = dict(db_path=db, device=f.FakeDevice("TPU v5 lite"),
+              long_dim_length=512, test_limit=4, cost_model=False,
+              timeit_kwargs=dict(min_rounds=1, min_seconds=0.01,
+                                 validation_long_dim_length=512))
+    autotune(e, "mass_v0", shard=(0, 2), seed=7, **kw)
+    rows0 = sql_utils.query(e, f.FakeDevice("TPU v5 lite"), db_path=db,
+                            err_if_no_results=False)
+    autotune(e, "mass_v0", shard=(1, 2), seed=7, **kw)
+    rows1 = sql_utils.query(e, f.FakeDevice("TPU v5 lite"), db_path=db,
+                            err_if_no_results=False)
+    assert len(rows1) > len(rows0) >= 1
+    # every recorded config belongs to exactly the shard that measured it
+    import zlib
+    def bucket(params):
+        return zlib.crc32(repr(tuple(sorted(params.items()))).encode()) % 2
+    new0 = {tuple(sorted(q.transform_params)) for q in rows0}
+    for q in rows0:
+        assert bucket(dict(q.transform_params)) == 0
+    for q in rows1:
+        if tuple(sorted(q.transform_params)) not in new0:
+            assert bucket(dict(q.transform_params)) == 1
