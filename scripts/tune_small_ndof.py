@@ -133,8 +133,9 @@ if __name__ == "__main__":
         for lg in (2, 3, 4, 5)
         for rc in (False, True)
         for lb, bc, fd in ((17, 0, True), (0, 20, True), (14, 0, False))]
-    space = get_transform_func_from_module_path(impl).get_param_space(
-        f.canonicalize_einsum(einsum))
+    sp = get_transform_func_from_module_path(impl)
+    ce = f.canonicalize_einsum(einsum)
+    space = sp.get_param_space(ce)
     projected, seen = [], set()
     for s in seeds:
         p = project_seed(space, s)
@@ -142,6 +143,36 @@ if __name__ == "__main__":
         if key not in seen:
             seen.add(key)
             projected.append(p)
+    # model-ranked seeds (r4): sample the space broadly on the host and
+    # put the analytic predictor's top picks FIRST — champions sit at
+    # median predicted-percentile ~11% (scripts/cost_model_report.py), so
+    # the first compiles go to the likeliest winners
+    try:
+        import numpy as _np
+        from feinsum_tpu.codegen.program import get_index_lengths
+        from feinsum_tpu.tuning.cost_model import predict_for_params
+        _rng = _np.random.default_rng(0)
+        _lens = get_index_lengths(ce, 1_000_000)
+        ranked = []
+        for _ in range(3000):
+            cand = {k: p.sample(_rng) for k, p in space.items()}
+            t = predict_for_params(sp, ce, cand, _lens, "TPU_v5_lite")
+            if t is not None:
+                ranked.append((t, cand))
+        ranked.sort(key=lambda x: x[0])
+        model_seeds = []
+        for _t, cand in ranked:
+            key = tuple(sorted(cand.items()))
+            if key not in seen:
+                seen.add(key)
+                model_seeds.append(cand)
+            if len(model_seeds) >= 8:
+                break
+        projected = model_seeds + projected
+        print(f"{len(model_seeds)} model-ranked seeds prepended", flush=True)
+    except Exception as ex:  # noqa: BLE001
+        print(f"cost-model seeding skipped: {type(ex).__name__}: {ex}",
+              flush=True)
     print(f"{len(projected)} projected seeds (from {len(seeds)})",
           flush=True)
     autotune(einsum, impl, stop_after=budget, long_dim_length=1_000_000,
