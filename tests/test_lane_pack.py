@@ -247,3 +247,25 @@ def test_lane_pack_dg_unpack_output_roundtrip():
     np.testing.assert_allclose(logical, ref, rtol=2e-5, atol=2e-5)
 
 # }}}
+
+
+def test_lane_pack_dg_validates_on_canonical_forms():
+    """The archive-replay path rewrites the CANONICAL einsum (letters and
+    operand order permuted by the canonicalizer) — every class must
+    validate in that form too."""
+    from feinsum_tpu.tuning.impls._common import (
+        fused_pallas_program, rewrite_lane_pack_dg)
+
+    for mk, g in [(lambda: _div(4), 4), (lambda: _grad(4), 4),
+                  (lambda: _curl(4), 4), (lambda: _mass(8), 8),
+                  (lambda: _face(35), 8)]:
+        ce = f.canonicalize_einsum(mk())
+
+        def tr(p, g=g):
+            p2, extras = rewrite_lane_pack_dg(p, g)
+            p2 = fused_pallas_program(p2, block_long=512, hoist=False,
+                                      parallel_grid=True,
+                                      keep_schedule=True)
+            return p2.with_descriptor(**extras)
+
+        f.validate_batched_einsum_transform(ce, tr, long_dim_length=512)
