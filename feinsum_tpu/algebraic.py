@@ -179,11 +179,23 @@ def hoist_cses_in_jaxpr(closed):
                tuple(atom_key(a) for a in invars),
                tuple(str(v.aval) for v in eqn.outvars))
         prev = seen.get(key)
-        if prev is not None:
+
+        def _dropped(v):
+            # DropVar ('_') marks a discarded output; not in jax.extend
+            return type(v).__name__ == "DropVar"
+
+        if prev is not None and all(
+                _dropped(old) or not _dropped(new)
+                for old, new in zip(eqn.outvars, prev)):
+            # safe merge: every LIVE output of the duplicate has a live
+            # counterpart in the kept equation (rewiring a live var to a
+            # DropVar would produce an invalid jaxpr — review r4)
             for old, new in zip(eqn.outvars, prev):
-                canon[old] = new
+                if not _dropped(old):
+                    canon[old] = new
             continue
-        seen[key] = eqn.outvars
+        if prev is None:
+            seen[key] = eqn.outvars
         new_eqns.append(eqn)
     if len(new_eqns) == len(jaxpr.eqns):
         return closed
@@ -204,10 +216,9 @@ def hoist_cses_in_fn(fn, example_args):
     import jax
     from jax.extend.core import jaxpr_as_fun
 
-    closed = jax.make_jaxpr(fn)(*example_args)
+    closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(*example_args)
     deduped = hoist_cses_in_jaxpr(closed)
-    out_tree = jax.tree_util.tree_structure(
-        jax.eval_shape(fn, *example_args))
+    out_tree = jax.tree_util.tree_structure(out_shape)
 
     def fn2(*args):
         flat = jax.tree_util.tree_leaves(args)

@@ -92,18 +92,17 @@ def _stored_shapes(program, logical_einsum, logical_lengths: dict) -> dict:
     return jax.eval_shape(lambda a: apply_layouts(program, a), dummies)
 
 
-def _output_stored_shape(program, index_to_length: dict, row: int) -> tuple:
+def _output_stored_shape(program, index_to_length: dict) -> tuple:
     """Stored output shape per the descriptor chain (mirrors
     ops/layouts.unpack_output inverted)."""
     desc = program.descriptor
     e = program.einsum
+    # NOTE: lane_pack needs no handling here — the REWRITTEN einsum's
+    # output letters already carry the packed extents (i -> g*di) and the
+    # long length passed in is already E/g; re-packing would double-count
+    # (review r4: the model under-priced small-ndof writes ~4x and
+    # mis-ranked exactly the new dg-pack candidates)
     shape = [int(index_to_length[ix]) for ix in e.out_idx_set]
-    g = getattr(desc, "lane_pack", 1) or 1
-    if g > 1:
-        if len(shape) == 1:
-            shape = [shape[0] // g, g]
-        else:
-            shape = shape[:-2] + [shape[-2] // g, shape[-1] * g]
     if desc.pre_out_layout is not None:
         flat = [p for grp in desc.pre_out_layout for p in grp]
         permuted = [shape[p] for p in flat]
@@ -180,14 +179,14 @@ def predict_runtime(program, index_to_length: dict, device_key: str, *,
                             else index_to_length)
     read_bytes = sum(_tile_padded(v.shape) * np.dtype(v.dtype).itemsize
                      for v in stored.values())
+    from ..codegen.program import output_dtype
     rc = getattr(desc, "rowcat", 1) or 1
     n_out = 1 if rc > 1 else e.b
-    write_bytes = 0
-    for r in range(n_out):
-        oshape = _output_stored_shape(program, index_to_length, r)
-        from ..codegen.program import output_dtype
-        write_bytes += (_tile_padded(oshape)
-                        * np.dtype(output_dtype(e, min(r, e.b - 1))).itemsize)
+    oshape = _output_stored_shape(program, index_to_length)
+    write_bytes = sum(
+        _tile_padded(oshape) * np.dtype(output_dtype(e, min(r, e.b - 1))
+                                        ).itemsize
+        for r in range(n_out))
 
     flops = _schedule_flops(program, index_to_length) * e.b
     prec = (desc.precision or "default").lower()

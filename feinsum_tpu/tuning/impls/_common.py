@@ -553,6 +553,16 @@ def rewrite_lane_pack_dg(program, g: int):
     sizes[i] = g * di
     sizes[j] = g * dj
 
+    # the packed SCALE lanes need the same 8-alignment as the dof dims
+    # (review r4: J' stored (.., E/g, g*s) with 6/12 lanes is the Mosaic
+    # non-8-multiple crash class the dof guards above exist for)
+    s_lanes = g * (int(e.index_to_dim_length[info["s_ax"]])
+                   if info["variant"] == "A" else 1)
+    if s_lanes % 8:
+        raise InvalidParameterError(
+            f"lane_pack={g}: packed scale lanes ({s_lanes}) must be"
+            f" 8-sublane-aligned")
+
     jdt = e.args[0][info["jp"]].dtype.name
     if info["variant"] == "A":
         s_ax = info["s_ax"]

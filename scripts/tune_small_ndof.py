@@ -130,7 +130,7 @@ if __name__ == "__main__":
          "lane_pack_g": lg, "rowcat": rc, "parallel_grid": True,
          "vmem_idx": 2, "split_rows": False, "accum_f32": False,
          "host_hoist": True}
-        for lg in (2, 3, 4, 5)
+        for lg in (3, 4, 5)
         for rc in (False, True)
         for lb, bc, fd in ((17, 0, True), (0, 20, True), (14, 0, False))]
     sp = get_transform_func_from_module_path(impl)

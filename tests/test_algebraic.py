@@ -136,3 +136,26 @@ def test_matcher_shares_duplicated_expression_operands():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)
 
 # }}}
+
+
+def test_hoist_cses_never_rewires_live_vars_to_dropvars():
+    """Review r4: two duplicate multi-output equations keeping DIFFERENT
+    outputs must not CSE a live var onto the kept equation's DropVar — the
+    deduped jaxpr must stay check_jaxpr-valid and numerically right."""
+    import jax
+    import jax.numpy as jnp
+
+    import feinsum_tpu as f
+
+    def g(x):
+        vals, _ = jax.lax.top_k(x, 2)
+        _, idxs = jax.lax.top_k(x, 2)
+        return vals + idxs.astype(jnp.float32)
+
+    x = jnp.asarray(np.random.default_rng(2).random(8, np.float32))
+    cj = jax.make_jaxpr(g)(x)
+    cj2 = f.hoist_cses_in_jaxpr(cj)
+    jax.core.check_jaxpr(cj2.jaxpr)            # structurally valid
+    np.testing.assert_allclose(
+        np.asarray(f.hoist_cses_in_fn(g, [x])(x)), np.asarray(g(x)),
+        rtol=1e-6)

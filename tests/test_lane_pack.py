@@ -171,8 +171,8 @@ def _mass(ndof):
 
 
 @pytest.mark.parametrize("mk,lg", [
-    (lambda: _div(4), 1), (lambda: _div(4, b=1), 3), (lambda: _div(10), 2),
-    (lambda: _grad(4), 2), (lambda: _grad(10), 2), (lambda: _curl(4), 2),
+    (lambda: _div(4), 3), (lambda: _div(4, b=1), 4), (lambda: _div(10), 3),
+    (lambda: _grad(4), 3), (lambda: _grad(10), 3), (lambda: _curl(4), 3),
     (lambda: _mass(8), 3), (lambda: _face(35), 3)])
 def test_lane_pack_dg_validates_against_oracle(mk, lg):
     from feinsum_tpu.tuning.impls._common import lane_pack_dg_applicable
@@ -191,7 +191,7 @@ def test_lane_pack_dg_composes_with_rowcat():
     sp = get_transform_func_from_module_path("dg_div_v0")
     for e in (_div(4), _curl(4)):
         tr = sp.bind_args(e, log2_block=9, dofmajor=True,
-                          parallel_grid=True, rowcat=True, lane_pack_g=1)
+                          parallel_grid=True, rowcat=True, lane_pack_g=3)
         f.validate_batched_einsum_transform(e, tr, long_dim_length=512)
 
 
@@ -216,7 +216,7 @@ def test_lane_pack_dg_fold_composes():
     sp = get_transform_func_from_module_path("dg_div_v0")
     e = _grad(4)
     tr = sp.bind_args(e, log2_block=9, dofmajor=True, fold=True,
-                      parallel_grid=True, lane_pack_g=2)
+                      parallel_grid=True, lane_pack_g=3)
     f.validate_batched_einsum_transform(e, tr, long_dim_length=512)
 
 
@@ -229,7 +229,7 @@ def test_lane_pack_dg_unpack_output_roundtrip():
     from feinsum_tpu.measure import apply_layouts, generate_input_arrays
 
     e = _grad(4)
-    g = 4
+    g = 8
     prog = f.generate_program(e)
     p2, extras = rewrite_lane_pack_dg(prog, g)
     p2 = fused_pallas_program(p2, block_long=512, hoist=False,
@@ -256,8 +256,8 @@ def test_lane_pack_dg_validates_on_canonical_forms():
     from feinsum_tpu.tuning.impls._common import (
         fused_pallas_program, rewrite_lane_pack_dg)
 
-    for mk, g in [(lambda: _div(4), 4), (lambda: _grad(4), 4),
-                  (lambda: _curl(4), 4), (lambda: _mass(8), 8),
+    for mk, g in [(lambda: _div(4), 8), (lambda: _grad(4), 8),
+                  (lambda: _curl(4), 8), (lambda: _mass(8), 8),
                   (lambda: _face(35), 8)]:
         ce = f.canonicalize_einsum(mk())
 
@@ -269,3 +269,15 @@ def test_lane_pack_dg_validates_on_canonical_forms():
             return p2.with_descriptor(**extras)
 
         f.validate_batched_einsum_transform(ce, tr, long_dim_length=512)
+
+
+def test_lane_pack_dg_scale_lane_alignment_guard():
+    """Review r4: the packed SCALE lanes (g*s for div's J, g for the
+    trail-packed classes) need 8-alignment too."""
+    from feinsum_tpu.tuning.impls._common import rewrite_lane_pack_dg
+    with pytest.raises(InvalidParameterError, match="scale lanes"):
+        rewrite_lane_pack_dg(f.generate_program(_div(4)), 4)   # 4*3 = 12
+    with pytest.raises(InvalidParameterError, match="scale lanes"):
+        rewrite_lane_pack_dg(f.generate_program(_mass(8)), 4)  # g = 4
+    p2, extras = rewrite_lane_pack_dg(f.generate_program(_div(4)), 8)
+    assert extras["lane_pack"] == 8                            # 8*3 = 24 ok
