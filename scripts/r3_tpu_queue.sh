@@ -117,6 +117,12 @@ run_bench
 run 2700 python scripts/tune_lane_pack.py matvec 1800
 run 1900 python scripts/tune_lane_pack.py vecmat 1000
 
+# r4: the DG lane-pack rewrite (div/grad P1-P2 unlock) gets its first TPU
+# evidence BEFORE the long reevaluate, so even a short window scores the
+# model-ranked g=32 seeds on the weakest rows
+run 1500 python scripts/tune_small_ndof.py div4 600
+run 1500 python scripts/tune_small_ndof.py grad4 600
+
 # 4: EARLY bounded reevaluate pass (VERDICT #2 is priority #2 after the
 # green bench): ~70 min over the priority classes, self-limited from its
 # own start time.  Resumable — the done-file means the full pass below
