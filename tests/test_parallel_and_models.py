@@ -342,3 +342,29 @@ def test_pipeline_four_stages_deep_bubble():
         carry_shape_dtype=jax.ShapeDtypeStruct((16, 8), jnp.float32))
     np.testing.assert_allclose(np.asarray(fn({"u": u})),
                                10.0 * np.asarray(u), rtol=1e-6)
+
+
+def test_pipeline_composes_on_two_axis_mesh():
+    """PP shards compute; it must run unchanged on a 2-axis (data x stage)
+    mesh — the composition story the docstring claims."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from feinsum_tpu.parallel import pipeline_stage_executable
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "stage"))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random((3, 16, 8), np.float32))
+
+    def mk(i):
+        def sfn(chunk, carry):
+            return carry + (i + 1.0) * chunk["u"]
+        return sfn
+
+    fn = pipeline_stage_executable(
+        [mk(0), mk(1)], mesh, n_microbatches=3,
+        carry_shape_dtype=jax.ShapeDtypeStruct((16, 8), jnp.float32))
+    np.testing.assert_allclose(np.asarray(fn({"u": u})),
+                               3.0 * np.asarray(u), rtol=1e-6)
