@@ -334,6 +334,49 @@ def test_bench_candidate_ladder_dedups(monkeypatch):
     assert labels[-1] == "built-in default"
 
 
+def test_bench_f64_ladder_tries_dd_before_xla(monkeypatch):
+    """XLA-f64 emulation compiles crash the remote compile helpers and the
+    sick helpers then kill every later fresh compile in-process (live bench
+    2026-08-19: grad_fp64 lost all six candidates).  Contract: for f64 rows
+    every dd candidate (archived rows + the built-in) is yielded BEFORE the
+    first XLA-f64 candidate; fp32 ladders are unchanged."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    import feinsum_tpu as f
+
+    e64 = f.einsum("ej,ij->ei", f.array("u", ("E", 8), "float64"),
+                   f.array("D", (8, 8), "float64"))
+
+    class FakeQ:
+        def __init__(self, tid, rate):
+            self.transform_id = tid
+            self.transform_params = (("log2_block", rate),)
+            self.total_giga_op_rate = rate
+            self.compiler_version = "jax=x timing-proto3"
+            self.transform = lambda p: p
+
+    # archive champion is XLA (today's real state for grad_fp64): the dd
+    # archived row AND the dd built-in must still be attempted first
+    monkeypatch.setattr(bench.sql_utils, "query",
+                        lambda einsum, *a, **k: [
+                            FakeQ("xla_v0.py", 100.0),
+                            FakeQ("dd_pallas_v0.py", 5.0),
+                            FakeQ("xla_v0.py", 90.0)])
+    labels = [label for label, _ in bench.candidate_transforms("row", e64)]
+    first_xla = next(i for i, s in enumerate(labels) if "xla_v0" in s)
+    assert all("dd" in s for s in labels[:first_xla]) and first_xla >= 2
+    assert any("built-in dd_pallas" in s for s in labels[:first_xla])
+    assert labels[-1] == "built-in default"
+
+    # no archived dd rows at all: built-in dd still precedes any XLA row
+    monkeypatch.setattr(bench.sql_utils, "query",
+                        lambda einsum, *a, **k: [FakeQ("xla_v0.py", 100.0)])
+    labels = [label for label, _ in bench.candidate_transforms("row", e64)]
+    assert labels[0] == "built-in dd_pallas (f32-pair VPU)"
+
+
 def test_shipped_archive_integrity():
     """Every einsum class in the SHIPPED archive reconstructs (canonical
     soundness asserts inside get_timed_einsums_in_db) and its best fact's
@@ -479,9 +522,11 @@ def test_bench_stale_cache_fallback(monkeypatch, tmp_path, capsys):
     monkeypatch.setattr("subprocess.run", probe_fails)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
 
-    # no cache -> exit 3
+    # no cache (and no committed seed) -> exit 3
     cache = tmp_path / "green.json"
     monkeypatch.setattr(bench, "_LAST_GREEN", str(cache))
+    monkeypatch.setattr(bench, "_LAST_GREEN_SEED",
+                        str(tmp_path / "no-seed.json"))
     with pytest.raises(SystemExit) as ei:
         bench._probe_backend(attempts=2, probe_timeout=1)
     assert ei.value.code == 3
@@ -552,8 +597,21 @@ def test_bench_deadline_self_limit(monkeypatch, tmp_path, capsys):
 
     # _emit_stale_line: False (and no output) when no green run is cached
     monkeypatch.setattr(bench, "_LAST_GREEN", str(tmp_path / "missing.json"))
+    monkeypatch.setattr(bench, "_LAST_GREEN_SEED",
+                        str(tmp_path / "no-seed.json"))
     assert bench._emit_stale_line("reason") is False
     assert capsys.readouterr().out.strip() == ""
+
+    # the committed seed backs up a deleted live cache (fresh checkouts
+    # wipe gitignored files — the r4 reset)
+    seed = tmp_path / "seed.json"
+    seed.write_text(json.dumps(
+        {"line": line, "captured_at": "2026-08-17T19:05:00Z"}))
+    monkeypatch.setattr(bench, "_LAST_GREEN_SEED", str(seed))
+    assert bench._emit_stale_line("reason") is True
+    emitted = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert emitted["stale_cache"] is True
+    assert emitted["captured_at"] == "2026-08-17T19:05:00Z"
 
 
 # {{{ analytic cost model (tuning/cost_model.py): the proposal ranker
