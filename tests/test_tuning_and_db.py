@@ -160,6 +160,41 @@ def test_autotune_smoke(tmp_path):
     assert len(params_seen) == len(qs2), "duplicate configs re-measured"
 
 
+def test_autotune_retries_sick_compile_helper(tmp_path, monkeypatch):
+    """An HTTP 500 from the remote compile helpers is infrastructure noise
+    (they crash on huge f64 modules; the relay round-robins across them),
+    not a bad config: the tuner retries the point once after a cooldown
+    instead of scoring a potential champion inf."""
+    import feinsum_tpu.tuning as tuning
+
+    db = str(tmp_path / "tune.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 16), "float32"),
+                 f.array("D", (16, 16), "float32"))
+    from feinsum_tpu import measure
+    real_timeit = measure.timeit
+    calls = {"n": 0}
+
+    def flaky_timeit(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: remote_compile: HTTP 500: tpu_compile_helper"
+                " subprocess exit code 1")
+        return real_timeit(*a, **k)
+
+    monkeypatch.setattr("feinsum_tpu.measure.timeit", flaky_timeit)
+    monkeypatch.setattr(tuning.time, "sleep", lambda s: None)
+    autotune(e, "mass_v0", db_path=db, long_dim_length=512,
+             test_limit=3, device=f.FakeDevice("TPU v5 lite"),
+             cost_model=False,
+             timeit_kwargs=dict(min_rounds=1, min_seconds=0.01,
+                                validation_long_dim_length=512))
+    assert calls["n"] >= 2, "no retry happened"
+    qs = sql_utils.query(e, f.FakeDevice("TPU v5 lite"),
+                         db_path=db, err_if_no_results=False)
+    assert len(qs) >= 1, "the retried point was not recorded"
+
+
 def test_migrate_from_reference_v6(tmp_path):
     """The migration tool reconstructs einsum classes from a reference-format
     archive (SizeParam axes come back parametric) and maps them to TPU
