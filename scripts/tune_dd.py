@@ -45,18 +45,27 @@ def make(which):
                         f.array("L", (35, 4, 15), "float64"),
                         f.array("Fj", (4, "E"), "float64"),
                         f.array("flux", (4, "E", 15), "float64"))
+    if which == "curl":
+        return f.batched_einsum(
+            "e,rij,ej->ei",
+            [[f.array(j, ("E",), "float64"),
+              f.array("D", (3, 35, 35), "float64"),
+              f.array(u, ("E", 35), "float64")]
+             for j, u in [("Jy", "uz"), ("Jz", "ux"), ("Jx", "uy")]])
     raise SystemExit(f"unknown class {which}")
 
 
-def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "div"
-    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
+# VERDICT r3 missing #2 asks for measured fp64 rows for the FULL DG family;
+# the queue only invokes div/grad, so leftover budget round-robins the rest.
+BONUS = {"div": ("mass", "face"), "grad": ("curl", "matvec")}
+
+
+def sweep(which, points, deadline):
     e = make(which)
-    t0 = time.time()
-    for lb, bc in ((12, 0), (13, 0), (14, 0), (11, 0), (0, 4), (15, 0)):
-        if time.time() - t0 > budget:
+    for lb, bc in points:
+        if time.time() > deadline:
             print("budget exhausted", flush=True)
-            break
+            return
         params = {"log2_block": lb or 8, "blkc128": bc,
                   "parallel_grid": True, "vmem_idx": 2}
         label = f"dd {which} b{lb}/c{bc}"
@@ -75,6 +84,19 @@ def main():
         except Exception as ex:  # noqa: BLE001
             print(f"{label}: FAIL {type(ex).__name__}: {str(ex)[:200]}",
                   flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "div"
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
+    deadline = time.time() + budget
+    sweep(which, ((12, 0), (13, 0), (14, 0), (11, 0), (0, 4), (15, 0)),
+          deadline)
+    for bonus in BONUS.get(which, ()):
+        if time.time() + 120 > deadline:
+            break
+        print(f"--- bonus family {bonus} (leftover budget) ---", flush=True)
+        sweep(bonus, ((13, 0), (12, 0)), deadline)
     print("DD SWEEP DONE", flush=True)
 
 
