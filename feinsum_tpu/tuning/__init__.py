@@ -431,25 +431,26 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
         n_tested += 1
         try:
             transform = transform_space.bind_args(einsum, **params)
-            try:
-                runtime = timeit(einsum, transform=transform,
-                                 long_dim_length=long_dim_length,
-                                 **timeit_kwargs)
-            except Exception as err:  # noqa: BLE001
-                # HTTP 500 = a sick remote compile helper (they crash on
-                # huge f64-emulation modules and the relay round-robins
-                # across them), NOT a bad config: retry once after a
-                # cooldown so a near-champion point isn't scored inf on
-                # infrastructure noise (live r4 queue: a b14 matvec
-                # lane_pack point lost to exactly this).
-                if "HTTP 500" not in str(err):
-                    raise
-                logger.warning("point %s hit a sick compile helper;"
-                               " retrying once after 30 s", params)
-                time.sleep(30)
-                runtime = timeit(einsum, transform=transform,
-                                 long_dim_length=long_dim_length,
-                                 **timeit_kwargs)
+            # HTTP 500 = a sick remote compile helper (they crash on huge
+            # f64-emulation modules, stay sick, and the relay round-robins
+            # across the pool), NOT a bad config: retry with cooldowns so a
+            # near-champion point isn't scored inf on infrastructure noise
+            # (live r4 queue: with ~half the pool sick, dg lane_pack
+            # points died twice in a row on sick ports while identical-
+            # family points sailed through on healthy ones).
+            for attempt in range(3):
+                try:
+                    runtime = timeit(einsum, transform=transform,
+                                     long_dim_length=long_dim_length,
+                                     **timeit_kwargs)
+                    break
+                except Exception as err:  # noqa: BLE001
+                    if "HTTP 500" not in str(err) or attempt == 2:
+                        raise
+                    logger.warning("point %s hit a sick compile helper"
+                                   " (attempt %d); retrying after 30 s",
+                                   params, attempt + 1)
+                    time.sleep(30)
         except InvalidParameterError as err:
             logger.info("invalid point %s: %s", params, err)
             n_invalid += 1
