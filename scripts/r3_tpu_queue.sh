@@ -10,6 +10,15 @@ LOG=/tmp/r3_queue.log
 START=${1:-0}
 step=0
 
+# A VM reboot can wipe site-packages (observed r4: every step died with
+# ModuleNotFoundError while the relay window burned).  Self-heal before
+# touching the TPU.
+if ! python -c "import feinsum_tpu" >/dev/null 2>&1; then
+    echo "r3_tpu_queue: feinsum_tpu not importable; reinstalling" \
+        | tee -a $LOG
+    pip install -e . --no-deps --no-build-isolation -q >> $LOG 2>&1
+fi
+
 # HARD DEADLINE: the driver runs its own bench.py on the TPU at round end
 # (~16:45 UTC 2026-08-18); a queue step still running then would violate
 # the one-TPU-process rule and wedge the driver's capture.  Every step's
