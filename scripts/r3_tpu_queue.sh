@@ -150,6 +150,7 @@ run 1500 python scripts/tune_small_ndof.py grad10 600
 run 1500 python scripts/tune_small_ndof.py div20 600
 run 1500 python scripts/tune_small_ndof.py grad20 600
 run 1500 python scripts/tune_small_ndof.py div35 600
+run 1500 python scripts/tune_small_ndof.py grad35 600
 run 1500 python scripts/tune_small_ndof.py curl 600
 # face/mass sit AT the 80% north star; copy at 85 — consolidated-space
 # knobs (mfold/rowcat) they never searched + headroom insurance
@@ -214,7 +215,8 @@ run 1800 python scripts/tpu_consumer_probe.py
 # into the SHARED persistent compile cache, so any new champion is warm.
 while [ "$DEADLINE" -gt 0 ] \
         && [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ]; do
-    for cls in matvec div4 grad4 div10 grad10 face mass div20 grad20; do
+    for cls in matvec div4 grad4 div10 grad10 face mass div20 grad20 \
+               div35 grad35 copy curl; do
         [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ] || break
         # a mid-loop wedge must not burn the rest of the window 1400 s
         # at a time: cheap bounded probe first

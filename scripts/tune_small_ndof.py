@@ -55,6 +55,8 @@ CLASSES = {
     "grad4": (mk_grad(4), "dg_grad_v0"),
     "grad10": (mk_grad(10), "dg_grad_v0"),
     "grad20": (mk_grad(20), "dg_grad_v0"),
+    "grad35": (mk_grad(35), "dg_grad_v0"),  # headline row (mfold trend was
+                                            # still rising with block size)
     "matvec": (f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
                         f.array("D", (20, 20), "float32")), "mass_v0"),
     # face/mass sit AT the 80% north star in r2d; the consolidated space
