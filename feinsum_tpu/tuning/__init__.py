@@ -407,6 +407,17 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
     # #5) — counts are logged in the run summary and a high unexpected-
     # failure share raises the log level
     n_invalid = n_mismatch = n_unexpected = 0
+    # sick-helper accounting (live r4 queue, 09:47-09:55 UTC: FOUR fresh
+    # dg lane_pack compiles in a row exhausted their 500-retries on a
+    # mostly-sick pool and were scored inf — each costing ~5 min — while
+    # cache-hit points "succeeded" around them).  A point whose EVERY
+    # attempt dies with HTTP 500 is infrastructure noise until proven
+    # otherwise: defer it instead of scoring inf, escalate the cooldown
+    # while the streak lasts, and re-queue the deferred points the moment
+    # any fresh point measures (= the pool healed).  A deterministic
+    # Mosaic crash still converges: the re-queued point just fails again.
+    deferred_500: list = []
+    sick_streak = 0
 
     while True:
         if stop_after is not None and time.time() - t_start > stop_after:
@@ -438,19 +449,38 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
             # (live r4 queue: with ~half the pool sick, dg lane_pack
             # points died twice in a row on sick ports while identical-
             # family points sailed through on healthy ones).
-            for attempt in range(3):
-                try:
-                    runtime = timeit(einsum, transform=transform,
-                                     long_dim_length=long_dim_length,
-                                     **timeit_kwargs)
-                    break
-                except Exception as err:  # noqa: BLE001
-                    if "HTTP 500" not in str(err) or attempt == 2:
-                        raise
-                    logger.warning("point %s hit a sick compile helper"
-                                   " (attempt %d); retrying after 30 s",
-                                   params, attempt + 1)
-                    time.sleep(30)
+            try:
+                for attempt in range(3):
+                    try:
+                        runtime = timeit(einsum, transform=transform,
+                                         long_dim_length=long_dim_length,
+                                         **timeit_kwargs)
+                        break
+                    except Exception as err:  # noqa: BLE001
+                        if "HTTP 500" not in str(err) or attempt == 2:
+                            raise
+                        logger.warning("point %s hit a sick compile helper"
+                                       " (attempt %d); retrying after 30 s",
+                                       params, attempt + 1)
+                        time.sleep(30)
+            except Exception as err:  # noqa: BLE001
+                if "HTTP 500" not in str(err):
+                    raise
+                # all attempts hit 500: defer (don't score inf), cool
+                # down harder the longer the streak, never past budget
+                deferred_500.append(params)
+                sick_streak += 1
+                cool = min(120 * sick_streak, 300)
+                if stop_after is not None:
+                    cool = min(cool, max(
+                        0, stop_after - (time.time() - t_start) - 60))
+                logger.warning(
+                    "point %s exhausted its 500-retries (sick streak %d);"
+                    " deferring it and cooling down %d s",
+                    params, sick_streak, int(cool))
+                if cool > 0:
+                    time.sleep(cool)
+                continue
         except InvalidParameterError as err:
             logger.info("invalid point %s: %s", params, err)
             n_invalid += 1
@@ -478,9 +508,24 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
             runtime_in_sec=runtime, device=device, db_path=db_path,
             long_dim_length=long_dim_length)
         logger.info("measured %s -> %.3es", params, runtime)
+        if deferred_500:
+            # a fresh point just measured => the helper pool healed:
+            # give every deferred point another shot (front of queue)
+            logger.info("pool healed: re-queueing %d deferred point(s)",
+                        len(deferred_500))
+            for p in deferred_500:
+                seen.discard(_freeze(p))
+            pending[:0] = deferred_500
+            deferred_500 = []
+        sick_streak = 0
 
+    if deferred_500:
+        logger.warning("autotune: %d point(s) still deferred on sick"
+                       " compile helpers at run end (left unscored)",
+                       len(deferred_500))
     n_failed = n_invalid + n_mismatch + n_unexpected
-    summary = (f"{n_tested} points tested: {n_tested - n_failed} measured,"
+    summary = (f"{n_tested} points tested: "
+               f"{n_tested - n_failed - len(deferred_500)} measured,"
                f" {n_invalid} invalid-parameter, {n_mismatch} validation"
                f" mismatches, {n_unexpected} unexpected failures")
     if n_tested and n_unexpected > max(2, n_tested // 4):

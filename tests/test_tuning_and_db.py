@@ -195,6 +195,67 @@ def test_autotune_retries_sick_compile_helper(tmp_path, monkeypatch):
     assert len(qs) >= 1, "the retried point was not recorded"
 
 
+def test_autotune_defers_500_exhausted_points(tmp_path, monkeypatch):
+    """A point whose EVERY 500-retry dies is deferred (not scored inf) and
+    re-queued the moment another point measures successfully — so a
+    sick-helper-pool window (live r4 queue: four fresh dg lane_pack
+    compiles in a row burned their retries) cannot permanently drop a
+    potential champion from the run."""
+    import feinsum_tpu.tuning as tuning
+
+    db = str(tmp_path / "tune.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 16), "float32"),
+                 f.array("D", (16, 16), "float32"))
+    from feinsum_tpu import measure
+    real_timeit = measure.timeit
+    calls = {"n": 0}
+
+    def flaky_timeit(*a, **k):
+        calls["n"] += 1
+        if calls["n"] <= 3:        # first point: all three attempts die
+            raise RuntimeError(
+                "INTERNAL: remote_compile: HTTP 500: tpu_compile_helper"
+                " subprocess exit code 1")
+        return real_timeit(*a, **k)
+
+    # two deterministic, known-measurable seed configs (random proposals
+    # can be bind-invalid, which would end the run before any success
+    # ever re-queues the deferred point)
+    import numpy as np
+    from feinsum_tpu.canonicalization import canonicalize_einsum
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+    ce = canonicalize_einsum(e)
+    ts = get_transform_func_from_module_path("mass_v0")
+    space = ts.get_param_space(ce)
+    rng = np.random.default_rng(7)
+    goods = []
+    while len(goods) < 2:
+        cand = {k: p.sample(rng) for k, p in space.items()}
+        try:
+            tr = ts.bind_args(ce, **cand)
+            real_timeit(ce, transform=tr, long_dim_length=512,
+                        min_rounds=1, min_seconds=0.01,
+                        validation_long_dim_length=512)
+        except Exception:  # noqa: BLE001
+            continue
+        if cand not in goods:
+            goods.append(cand)
+
+    monkeypatch.setattr("feinsum_tpu.measure.timeit", flaky_timeit)
+    monkeypatch.setattr(tuning.time, "sleep", lambda s: None)
+    autotune(e, "mass_v0", db_path=db, long_dim_length=512,
+             test_limit=3, device=f.FakeDevice("TPU v5 lite"),
+             cost_model=False, seed_configs=goods,
+             timeit_kwargs=dict(min_rounds=1, min_seconds=0.01,
+                                validation_long_dim_length=512))
+    # point A: 3 failed attempts; point B: 1 success (re-queues A);
+    # point A again: 1 success
+    assert calls["n"] == 5, f"expected 5 timeit calls, saw {calls['n']}"
+    qs = sql_utils.query(e, f.FakeDevice("TPU v5 lite"),
+                         db_path=db, err_if_no_results=False)
+    assert len(qs) >= 2, "the deferred point was never re-measured"
+
+
 def test_migrate_from_reference_v6(tmp_path):
     """The migration tool reconstructs einsum classes from a reference-format
     archive (SizeParam axes come back parametric) and maps them to TPU
