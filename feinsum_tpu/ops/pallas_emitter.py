@@ -70,35 +70,109 @@ def _arg_index_sets(einsum) -> dict:
     return out
 
 
+def _padded_block_bytes(dims, itemsize: int = 4) -> int:
+    """Physical VMEM bytes of a block with in-kernel shape *dims*: the
+    trailing (lane) dim pads to a multiple of 128 and the second-to-last
+    (sublane) to a multiple of 8 — the T(8,128) register tiling.  A
+    (B, 48) f32 block holds (B, 128) physically: ignoring this is how
+    blkc128>=20 lane_pack points passed the old guard yet blew past
+    vmem_limit_bytes and crashed Mosaic (HTTP 500, observed r4 live)."""
+    dims = list(dims)
+    if dims:
+        dims[-1] = -(-dims[-1] // 128) * 128
+    if len(dims) >= 2:
+        dims[-2] = -(-dims[-2] // 8) * 8
+    size = itemsize
+    for d in dims:
+        size *= d
+    return size
+
+
+def schedule_intermediates_vmem_bytes(einsum, schedule, block_long: int,
+                                      grid_index: Optional[str] = None
+                                      ) -> int:
+    """Per-grid-step VMEM held by a schedule's intermediate (non-final)
+    step outputs, f32, lane/sublane-padded, all assumed live at once
+    (conservative: the last step of e.g. the lane_pack 3-step schedule
+    consumes V and W together).  The generic
+    :func:`estimate_block_vmem_bytes` assumes one OUTPUT-sized working
+    set — rewrite-built schedules (lane_pack DG) carry intermediates with
+    MORE axes than the output (V is (m..., el, i) vs out (chi..., el, i))."""
+    if grid_index is None:
+        from ..einsum import SizeParam
+        params = [ix for ix, ln in einsum.index_to_dim_length.items()
+                  if isinstance(ln, SizeParam)]
+        grid_index = params[0] if params else None
+    total = 0
+    for subs_ in schedule.subscripts[:-1]:
+        out = subs_.split("->")[1]
+        dims = [(block_long if ix == grid_index
+                 else int(einsum.index_to_dim_length[ix])) for ix in out]
+        total += _padded_block_bytes(dims)
+    return total * einsum.b
+
+
 def estimate_block_vmem_bytes(einsum, block_long: int,
                               index_to_length: dict,
-                              grid_index: Optional[str] = None) -> int:
+                              grid_index: Optional[str] = None,
+                              schedule=None,
+                              split_rows: bool = False) -> int:
     """Rough per-grid-step VMEM demand of the fused kernel: double-buffered
     streaming blocks + resident operands + output blocks + one intermediate
     working set.  Used by schedule spaces as their InvalidParameterError
     guard (the TPU analog of the reference impls' shared-mem <= 48 kB
-    checks, e.g. cogent.py:16-18)."""
+    checks, e.g. cogent.py:16-18).  With *schedule*, the one-working-set
+    assumption is replaced by the schedule's actual intermediate sizes
+    (see :func:`schedule_intermediates_vmem_bytes`).  With *split_rows*
+    (multiple_results_in_one_kernel=False), each batch row runs its own
+    kernel: residents (shared names) count once, but streamed operands,
+    outputs and intermediates are per-row (max over rows)."""
     lengths = dict(index_to_length)
     if grid_index is None:
         from ..einsum import SizeParam
         params = [ix for ix, ln in einsum.index_to_dim_length.items()
                   if isinstance(ln, SizeParam)]
         grid_index = params[0] if params else None
-    arg_idx = _arg_index_sets(einsum)
-    total = 0
-    for name, idx_set in arg_idx.items():
-        size = 1
-        for ix in idx_set:
-            size *= block_long if ix == grid_index else lengths[ix]
-        mult = 2 if grid_index in idx_set else 1   # double buffering
-        total += size * einsum.arg_to_dtype[name].itemsize * mult
-    out_size = 1
-    for ix in einsum.out_idx_set:
-        out_size *= block_long if ix == grid_index else lengths[ix]
-    total += einsum.b * out_size * 4 * 2
-    # intermediates: assume one extra output-sized f32 working set per row
-    total += einsum.b * out_size * 4 * 2
-    return total
+    padded = schedule is not None    # rewrite-built paths: physical tiling
+
+    def block_bytes(idx_set, itemsize):
+        dims = [block_long if ix == grid_index else lengths[ix]
+                for ix in idx_set]
+        if padded:
+            return _padded_block_bytes(dims, itemsize)
+        size = itemsize
+        for d in dims:
+            size *= d
+        return size
+
+    arg_info = {}      # name -> (bytes, streamed?, rows using it)
+    for r, row in enumerate(einsum.args):
+        for arg, idx_set in zip(row, einsum.in_idx_sets):
+            if arg.name in arg_info:
+                arg_info[arg.name][2].add(r)
+                continue
+            streamed = grid_index in idx_set
+            nbytes = (block_bytes(idx_set, arg.dtype.itemsize)
+                      * (2 if streamed else 1))
+            arg_info[arg.name] = (nbytes, streamed, {r})
+    resident_total = sum(nb for nb, st, _ in arg_info.values() if not st)
+    row_stream = [0] * einsum.b
+    for nb, st, rows in arg_info.values():
+        if st:
+            for r in (rows if split_rows else list(rows)[:1]):
+                row_stream[r] += nb
+    out_per_row = block_bytes(einsum.out_idx_set, 4) * 2
+    if schedule is not None and schedule.nsteps > 1:
+        inter_per_row = schedule_intermediates_vmem_bytes(
+            einsum, schedule, block_long, grid_index) // einsum.b
+    else:
+        # intermediates: assume one extra output-sized f32 working set/row
+        inter_per_row = out_per_row
+    if split_rows:
+        return (resident_total + max(row_stream)
+                + out_per_row + inter_per_row)
+    return (resident_total + sum(row_stream)
+            + einsum.b * (out_per_row + inter_per_row))
 
 
 def _try_build_flat_elementwise(program, lengths):

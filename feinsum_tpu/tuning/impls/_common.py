@@ -52,15 +52,26 @@ def long_axis_of(einsum) -> str:
     return params[0]
 
 
-def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000
-               ) -> None:
+def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000,
+               schedule=None, limit_bytes=None,
+               split_rows: bool = False) -> None:
+    """Reject blocks whose per-grid-step VMEM demand exceeds *limit_bytes*
+    (default VMEM_BUDGET_BYTES).  Pass *schedule* for rewrite-built
+    schedules (lane_pack DG): their intermediates can dwarf the generic
+    output-sized estimate, and letting such a point through means a
+    deterministic Mosaic vmem-exceeded crash (HTTP 500 through this
+    relay's compile helper) that costs the tuner 3 retries + cooldowns
+    instead of an instant InvalidParameterError (observed live, r4)."""
     from feinsum_tpu.ops.pallas_emitter import estimate_block_vmem_bytes
     lengths = get_index_lengths(einsum, long_dim_length)
-    need = estimate_block_vmem_bytes(einsum, block_long, lengths)
-    if need > VMEM_BUDGET_BYTES:
+    need = estimate_block_vmem_bytes(einsum, block_long, lengths,
+                                     schedule=schedule,
+                                     split_rows=split_rows)
+    limit = VMEM_BUDGET_BYTES if limit_bytes is None else limit_bytes
+    if need > limit:
         raise InvalidParameterError(
             f"block_long={block_long} needs ~{need >> 20} MiB VMEM"
-            f" (> {VMEM_BUDGET_BYTES >> 20} MiB)")
+            f" (> {limit >> 20} MiB)")
 
 
 def prereduce_resident_private(einsum, schedule):
@@ -145,11 +156,20 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
     long axis as (8, E/8) so short-dof arrays tile HBM exactly (no 35->40
     sublane padding; +15% streaming, scripts/tpu_fold_probe*.py)."""
     e = program.einsum
-    guard_vmem(e, block_long)
     if keep_schedule:
         # the program carries a rewrite-built schedule (lane_pack DG
-        # variant); the schedule-selection knobs were rejected upstream
+        # variant); the schedule-selection knobs were rejected upstream.
+        # Guard against the point's OWN vmem_limit_bytes including the
+        # schedule's intermediates (V/W both live into the last step).
         schedule = program.schedule
+        guard_vmem(e, block_long, schedule=schedule,
+                   split_rows=bool(split_rows),
+                   limit_bytes=(VMEM_MB_CHOICES[int(vmem_idx)] * 2 ** 20
+                                if vmem_idx is not None else None))
+    else:
+        guard_vmem(e, block_long)
+    if keep_schedule:
+        pass
     elif jfold:
         # outer-product-first schedule: multiply the streamed operands into
         # one intermediate (e.g. div's tmp[e,s,j] = J[e,s]*u[e,j]), then a

@@ -396,7 +396,7 @@ def test_default_spot_check_skips_corrupted_archive_row(tmp_path):
 
 
 def test_dg_lane_pack_champion_served_from_archive(tmp_path):
-    """A planted DG lane-pack champion (div class, g=4 + rowcat) replays
+    """A planted DG lane-pack champion (div class, g=32 + rowcat) replays
     through compile_fn_with_archive: pack/kron/expand contracts applied,
     packed rowcat output unpacked and row-sliced, values match."""
     from feinsum_tpu import sql_utils
@@ -411,7 +411,7 @@ def test_dg_lane_pack_champion_served_from_archive(tmp_path):
     params = {"log2_block": 10, "blkc128": 0, "dofmajor": False,
               "fold": False, "preblock": False, "precision_3x": False,
               "hoist": False, "jfold": False, "mfold": False,
-              "prereduce": False, "lane_pack_g": 3, "parallel_grid": True,
+              "prereduce": False, "lane_pack_g": 5, "parallel_grid": True,
               "vmem_idx": 2, "split_rows": False, "accum_f32": False,
               "host_hoist": True, "rowcat": True}
     sql_utils.record_facts(e, transform_id="dg_div_v0.py",
@@ -436,7 +436,7 @@ def test_dg_lane_pack_champion_served_from_archive(tmp_path):
                                     device=f.FakeDevice("TPU v5 lite"),
                                     long_dim_length=500)
     prog = fn2.plans[0][2]
-    assert prog.descriptor.lane_pack == 8
+    assert prog.descriptor.lane_pack == 32
     assert prog.descriptor.rowcat == 3
     got, ref = fn2(*args), user(*args)
     for g_, r_ in zip(got, ref):

@@ -281,3 +281,38 @@ def test_lane_pack_dg_scale_lane_alignment_guard():
         rewrite_lane_pack_dg(f.generate_program(_mass(8)), 4)  # g = 4
     p2, extras = rewrite_lane_pack_dg(f.generate_program(_div(4)), 8)
     assert extras["lane_pack"] == 8                            # 8*3 = 24 ok
+
+
+def test_lane_pack_dg_vmem_guard_matches_live_evidence():
+    """r4 live (div4 sweep): pack points whose PHYSICAL VMEM demand
+    (lane-padded blocks + the 3-step schedule's V/W intermediates) exceeds
+    the point's own vmem_limit_bytes crashed Mosaic deterministically
+    (HTTP 500 across helper ports); points under the limit measured fine.
+    The schedule-aware guard must reject the former as
+    InvalidParameterError (instant) and keep the latter valid."""
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    sp = get_transform_func_from_module_path("dg_div_v0")
+    ce = f.canonicalize_einsum(_div(4))
+    base = dict(log2_block=9, dofmajor=False, parallel_grid=True,
+                fold=False, preblock=False, precision_3x=False, hoist=False,
+                jfold=False, mfold=False, prereduce=False, accum_f32=False,
+                host_hoist=True)
+    # (blkc128, vmem_idx, rowcat, lane_pack_g, split_rows, ok?)
+    cases = [(20, 0, True, 5, False, False),    # crashed live
+             (22, 0, True, 5, False, False),    # crashed live
+             (21, 1, True, 5, False, False),    # crashed live
+             (22, 0, True, 4, False, False),    # crashed live (g=16:
+                                                # 48->128 lane padding)
+             (18, 2, True, 5, False, True),     # measured live 5.7e-4
+             (7, 0, False, 5, True, True),      # measured live (split_rows
+                                                # kernels hold 1 row's V/W)
+             (6, 1, True, 5, False, True)]      # measured live 6.08e-4
+    for bc, vi, rc, lg, sr, ok in cases:
+        params = dict(base, blkc128=bc, vmem_idx=vi, rowcat=rc,
+                      lane_pack_g=lg, split_rows=sr)
+        if ok:
+            sp(f.generate_program(ce), ce, **params)
+        else:
+            with pytest.raises(InvalidParameterError, match="VMEM"):
+                sp(f.generate_program(ce), ce, **params)
