@@ -65,11 +65,10 @@ def main() -> None:
                   f" {subs} {tid} {rt*1e6:.0f}us"
                   f" {json.loads(params) if len(params) < 200 else '...'}")
         if not args.dry_run and rows:
-            conn.execute(
-                f"DELETE FROM {sql_utils.TIMINGS_TABLENAME} WHERE {cond}",
-                binds)
+            sql_utils.retire_rows_where(cond, binds, reason="retire_rows.py",
+                                        conn=conn)
             conn.commit()
-        print(f"{len(rows)} row(s) {'matched' if args.dry_run else 'deleted'}")
+        print(f"{len(rows)} row(s) {'matched' if args.dry_run else 'retired'}")
     finally:
         conn.close()
 

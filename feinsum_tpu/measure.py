@@ -47,6 +47,7 @@ from .diagnostics import (
     TransformValidationError,
 )
 from .einsum import BatchedEinsum, SizeParam
+from .tpu_lock import device_lock
 
 logger = logging.getLogger(__name__)
 
@@ -277,6 +278,22 @@ def _numpy_oracle(einsum: BatchedEinsum, np_arrays: dict) -> list:
     return outs
 
 
+def _locked(fn):
+    """Hold the cross-process device lock (tpu_lock.device_lock)
+    for the call: compiles and timed runs from different processes
+    must never overlap on the relay (wedged compile helpers,
+    polluted device traces — observed r4).  Re-entrant, and a no-op
+    on CPU-pinned processes."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with device_lock():
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+@_locked
 def validate_batched_einsum_transform(
         einsum: BatchedEinsum, transform: Optional[TransformT], *,
         long_dim_length: int = 100, seed: int = 0,
@@ -566,6 +583,7 @@ def _bytes_floor_seconds(fn, arrays: dict) -> Optional[float]:
         return None
 
 
+@_locked
 def timeit_on_device(fn, arrays: dict) -> float:
     """Seconds per launch of *fn* on the current accelerator.
 
@@ -630,6 +648,7 @@ def timeit_on_device(fn, arrays: dict) -> float:
     return max(_timeit_in_graph(fn, arrays), floor)
 
 
+@_locked
 def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
                      max_iters: int = 200_000) -> float:
     """Per-iteration seconds of ``fn`` measured with the whole loop inside one
@@ -732,6 +751,7 @@ def _timeit_in_graph(fn, arrays: dict, *, min_work_seconds: float = 0.6,
     return max((t2 - t1) / (k2 - k1), 1e-9)
 
 
+@_locked
 def timeit(einsum: BatchedEinsum, *,
            transform: Optional[TransformT] = None,
            long_dim_length: int = 100_000,

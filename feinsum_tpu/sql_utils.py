@@ -156,6 +156,41 @@ def _connect(db_path: str) -> sqlite3.Connection:
     return conn
 
 
+RETIRED_TABLENAME = "FEINSUM_RETIRED_FACTS"
+
+
+def retire_rows_where(cond: str, binds, *, reason: str,
+                      db_path: Optional[str] = None,
+                      conn: Optional[sqlite3.Connection] = None) -> int:
+    """Move timing rows matching the SQL *cond* into RETIRED_TABLENAME
+    instead of deleting them (non-destructive retire).  Motivated by a live
+    r4 incident: contention-polluted re-timings made the over-reporter
+    retire pass delete two HONEST champion rows — with a stash, such
+    mistakes are recoverable (data/bin/restore_retired.py).  Returns the
+    number of rows moved."""
+    own = conn is None
+    if own:
+        conn = _connect(db_path or DEFAULT_DB)
+    try:
+        conn.execute(f"""
+            CREATE TABLE IF NOT EXISTS {RETIRED_TABLENAME} AS
+            SELECT *, '' AS retire_reason, '' AS retired_at
+            FROM {TIMINGS_TABLENAME} WHERE 0""")
+        cur = conn.execute(
+            f"INSERT INTO {RETIRED_TABLENAME} "
+            f"SELECT *, ?, datetime('now') FROM {TIMINGS_TABLENAME}"
+            f" WHERE {cond}", [reason] + list(binds))
+        n = cur.rowcount
+        conn.execute(f"DELETE FROM {TIMINGS_TABLENAME} WHERE {cond}",
+                     list(binds))
+        if own:
+            conn.commit()
+        return n
+    finally:
+        if own:
+            conn.close()
+
+
 def query(einsum: BatchedEinsum, device=None, *,
           db_path: Optional[str] = None,
           err_if_no_results: bool = True) -> list:

@@ -57,15 +57,16 @@ def main() -> None:
                 # (subscripts, id, runtime, compiler) identifies the row:
                 # the runtime float is read back from this same row, so
                 # equality is exact; a duplicate row caught by it is a
-                # duplicate of the same over-reporting fact
-                cur = conn.execute(
-                    f"DELETE FROM {sql_utils.TIMINGS_TABLENAME} WHERE"
-                    " subscripts = ? AND device_name = ? AND"
+                # duplicate of the same over-reporting fact.  Rows move to
+                # the retired-facts stash (recoverable), not DELETE.
+                n_deleted += sql_utils.retire_rows_where(
+                    "subscripts = ? AND device_name = ? AND"
                     " transform_id = ? AND runtime_in_sec = ? AND"
                     " compiler_version = ?",
                     (e.get_subscripts(), args.device, q.transform_id,
-                     q.runtime_in_sec, q.compiler_version))
-                n_deleted += cur.rowcount
+                     q.runtime_in_sec, q.compiler_version),
+                    reason=f"untagged over-reporter > proto3 best {best:.0f}"
+                           f" GOp/s", conn=conn)
     conn.commit()
     print(f"retired {n_deleted} untagged over-reporting rows"
           f"{' (dry run)' if args.dry_run else ''}")

@@ -855,3 +855,56 @@ def test_autotune_shards_partition_the_sweep(tmp_path):
     for q in rows1:
         if tuple(sorted(q.transform_params)) not in new0:
             assert bucket(dict(q.transform_params)) == 1
+
+
+def test_retire_is_nondestructive_and_restorable(tmp_path):
+    """r4 incident: the over-reporter retire pass deleted two HONEST
+    champion rows after contention-polluted re-timings.  Retire must move
+    rows to the retired-facts stash, and restore_retired must bring them
+    back byte-identical."""
+    import sqlite3
+    import subprocess
+    import sys
+
+    from feinsum_tpu import sql_utils
+
+    db = str(tmp_path / "scratch.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 8), "float32"),
+                 f.array("D", (8, 8), "float32"))
+    params = {"log2_block": 10}
+    sql_utils.record_facts(e, transform_id="mass_v0.py",
+                           transform_params=params, runtime_in_sec=1e-4,
+                           device=f.FakeDevice("TPU v5 lite"), db_path=db,
+                           long_dim_length=1024)
+    conn = sqlite3.connect(db)
+    before = conn.execute(
+        f"SELECT * FROM {sql_utils.TIMINGS_TABLENAME}").fetchall()
+    conn.close()
+    assert len(before) == 1
+
+    n = sql_utils.retire_rows_where("transform_id = ?", ["mass_v0.py"],
+                                    reason="test", db_path=db)
+    assert n == 1
+    conn = sqlite3.connect(db)
+    assert conn.execute(
+        f"SELECT COUNT(*) FROM {sql_utils.TIMINGS_TABLENAME}"
+        ).fetchone()[0] == 0
+    stash = conn.execute(
+        f"SELECT retire_reason FROM {sql_utils.RETIRED_TABLENAME}"
+        ).fetchall()
+    conn.close()
+    assert stash == [("test",)]
+
+    rc = subprocess.run(
+        [sys.executable, "feinsum_tpu/data/bin/restore_retired.py",
+         "--db", db, "--transform-id", "mass_v0.py"],
+        capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr
+    conn = sqlite3.connect(db)
+    after = conn.execute(
+        f"SELECT * FROM {sql_utils.TIMINGS_TABLENAME}").fetchall()
+    n_stash = conn.execute(
+        f"SELECT COUNT(*) FROM {sql_utils.RETIRED_TABLENAME}").fetchone()[0]
+    conn.close()
+    assert after == before
+    assert n_stash == 0
