@@ -140,12 +140,22 @@ def hoist_cses_in_jaxpr(closed):
     einsum calls produces two equation chains, which inflate the matcher's
     backward slices and the consumer path's epilogue replays.
 
-    Equations whose params contain unhashable values (sub-jaxprs, arrays)
-    or that carry effects are kept verbatim (inputs still rewired)."""
-    from jax.extend.core import ClosedJaxpr, Literal, Var
+    The pass RECURSES into sub-jaxpr params (pjit/cond/scan bodies), so
+    duplicates inside a ``cond`` branch collapse too — and stay inside
+    their branch, which is the jaxpr-shaped analog of the reference's
+    predicate-guarded CSE temporaries (a value computed under a predicate
+    is deduplicated without ever being evaluated unguarded).  Identical
+    nested-jit equations (same sub-jaxpr alpha-equivalently, same consts,
+    same inputs) also merge: sub-jaxprs are keyed by their canonical
+    pretty-printed form, which is alpha-invariant.
+
+    Equations whose params contain other unhashable values (arrays) or
+    that carry effects are kept verbatim (inputs still rewired)."""
+    from jax.extend.core import ClosedJaxpr, Jaxpr, Literal, Var
 
     jaxpr = closed.jaxpr
     canon: dict = {}         # Var -> canonical Var (identity-keyed)
+    _subjaxpr_keys: dict = {}     # id(jaxpr) -> structural key (memo)
 
     def atom_key(a):
         if isinstance(a, Literal):
@@ -155,19 +165,61 @@ def hoist_cses_in_jaxpr(closed):
             return ("lit-arr", id(a))          # arrays: unique, no CSE
         return ("var", id(canon.get(a, a)))
 
+    def subjaxpr_key(x):
+        """Alpha-invariant structural key: jax's pretty-printer names vars
+        canonically per print, so equal strings <=> equal structure; consts
+        (ClosedJaxpr) join by value."""
+        k = _subjaxpr_keys.get(id(x))
+        if k is None:
+            if isinstance(x, ClosedJaxpr):
+                consts = tuple(
+                    (str(np.asarray(c).dtype), np.asarray(c).shape,
+                     np.asarray(c).tobytes())
+                    if isinstance(c, (np.ndarray, np.generic)) or hasattr(
+                        c, "dtype") else ("obj", id(c))
+                    for c in x.consts)
+                k = ("closed-jaxpr", str(x.jaxpr), consts)
+            else:
+                k = ("jaxpr", str(x))
+            _subjaxpr_keys[id(x)] = k
+        return k
+
     def freeze(x):
         if isinstance(x, dict):
             return tuple(sorted((k, freeze(v)) for k, v in x.items()))
         if isinstance(x, (list, tuple)):
             return tuple(freeze(v) for v in x)
+        if isinstance(x, (ClosedJaxpr, Jaxpr)):
+            return subjaxpr_key(x)
         try:
             hash(x)
             return x
         except TypeError:
-            return ("unhashable", id(x))       # sub-jaxprs etc: unique
+            return ("unhashable", id(x))       # other opaque params: unique
+
+    def rec_params(params):
+        """CSE inside sub-jaxpr params (pjit 'jaxpr', cond 'branches',
+        scan/while bodies): pure sub-jaxprs dedup the same way, and the
+        rewrite stays inside its branch/body."""
+        changed = False
+        out = {}
+        for k, v in params.items():
+            if isinstance(v, ClosedJaxpr):
+                v2 = hoist_cses_in_jaxpr(v)
+                changed |= v2 is not v
+                out[k] = v2
+            elif (isinstance(v, tuple)
+                  and v and all(isinstance(b, ClosedJaxpr) for b in v)):
+                v2 = tuple(hoist_cses_in_jaxpr(b) for b in v)
+                changed |= any(a is not b for a, b in zip(v, v2))
+                out[k] = v2
+            else:
+                out[k] = v
+        return (out if changed else params), changed
 
     seen: dict = {}
     new_eqns = []
+    n_changed = 0
     for eqn in jaxpr.eqns:
         invars = [canon.get(a, a) if isinstance(a, Var) else a
                   for a in eqn.invars]
@@ -175,6 +227,10 @@ def hoist_cses_in_jaxpr(closed):
         if eqn.effects:
             new_eqns.append(eqn)
             continue
+        params2, ch = rec_params(eqn.params)
+        if ch:
+            eqn = eqn.replace(params=params2)
+            n_changed += 1
         key = (eqn.primitive.name, freeze(eqn.params),
                tuple(atom_key(a) for a in invars),
                tuple(str(v.aval) for v in eqn.outvars))
@@ -197,7 +253,7 @@ def hoist_cses_in_jaxpr(closed):
         if prev is None:
             seen[key] = eqn.outvars
         new_eqns.append(eqn)
-    if len(new_eqns) == len(jaxpr.eqns):
+    if len(new_eqns) == len(jaxpr.eqns) and not n_changed:
         return closed
     outvars = [canon.get(v, v) if isinstance(v, Var) else v
                for v in jaxpr.outvars]

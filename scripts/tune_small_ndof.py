@@ -168,10 +168,15 @@ if __name__ == "__main__":
             if key not in seen:
                 seen.add(key)
                 model_seeds.append(cand)
-            if len(model_seeds) >= 8:
+            if len(model_seeds) >= 6:
                 break
-        projected = model_seeds + projected
-        print(f"{len(model_seeds)} model-ranked seeds prepended", flush=True)
+        # model picks run AFTER a dozen known-good-family seeds: a single
+        # mis-ranked pick with a pathological Mosaic compile (observed
+        # live r4: div10's top pick compiled ~17 min and measured 5x worse
+        # than champion) must cost the tail of the budget, not the head
+        projected = projected[:12] + model_seeds + projected[12:]
+        print(f"{len(model_seeds)} model-ranked seeds inserted after the"
+              f" first 12", flush=True)
     except Exception as ex:  # noqa: BLE001
         print(f"cost-model seeding skipped: {type(ex).__name__}: {ex}",
               flush=True)

@@ -159,3 +159,61 @@ def test_hoist_cses_never_rewires_live_vars_to_dropvars():
     np.testing.assert_allclose(
         np.asarray(f.hoist_cses_in_fn(g, [x])(x)), np.asarray(g(x)),
         rtol=1e-6)
+
+
+def test_hoist_cses_recurses_into_cond_branches():
+    """Duplicates INSIDE a lax.cond branch dedup and stay inside their
+    branch — the jaxpr analog of the reference's predicate-guarded CSE
+    temporaries (cse.py:201-299: a CSE under a predicate is initialized
+    under that predicate, never unguarded)."""
+    import jax
+    import jax.numpy as jnp
+
+    def branch(x):
+        a = jnp.sin(x) * 2.0
+        b = jnp.sin(x) * 2.0     # duplicate chain inside the branch
+        return a + b
+
+    def fn(p, x):
+        return jax.lax.cond(p, branch, lambda x: x, x)
+
+    x = jnp.ones((8,), jnp.float32)
+    cj = jax.make_jaxpr(fn)(True, x)
+    cj2 = f.hoist_cses_in_jaxpr(cj)
+    (cond_eqn,) = [e for e in cj2.jaxpr.eqns if e.primitive.name == "cond"]
+    branches = cond_eqn.params["branches"]
+    n_sin = sum(sum(1 for e in b.jaxpr.eqns if e.primitive.name == "sin")
+                for b in branches)
+    assert n_sin == 1            # deduped, still under the predicate
+    from jax.extend.core import jaxpr_as_fun
+    got = jaxpr_as_fun(cj2)(True, x)[0]
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(fn(True, x)), rtol=1e-6)
+    got_f = jaxpr_as_fun(cj2)(False, x)[0]
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(x))
+
+
+def test_hoist_cses_merges_identical_nested_jit_calls():
+    """Two pjit eqns tracing the SAME function on the SAME inputs are
+    alpha-equivalent sub-jaxprs and must merge into one call."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def helper(x):
+        return jnp.tanh(x) + 1.0
+
+    def fn(x):
+        return helper(x) * helper(x)
+
+    x = jnp.ones((8,), jnp.float32)
+    cj = jax.make_jaxpr(fn)(x)
+    n_pjit_before = sum(1 for e in cj.jaxpr.eqns
+                        if e.primitive.name in ("pjit", "jit"))
+    cj2 = f.hoist_cses_in_jaxpr(cj)
+    n_pjit_after = sum(1 for e in cj2.jaxpr.eqns
+                       if e.primitive.name in ("pjit", "jit"))
+    assert n_pjit_before == 2 and n_pjit_after == 1
+    from jax.extend.core import jaxpr_as_fun
+    np.testing.assert_allclose(np.asarray(jaxpr_as_fun(cj2)(x)[0]),
+                               np.asarray(fn(x)), rtol=1e-6)
