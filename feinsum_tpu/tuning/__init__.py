@@ -440,6 +440,7 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
             break
         seen.add(_freeze(params))
         n_tested += 1
+        t_point = time.time()
         try:
             transform = transform_space.bind_args(einsum, **params)
             # HTTP 500 = a sick remote compile helper (they crash on huge
@@ -507,7 +508,15 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
             einsum, transform_id=transform_id, transform_params=params,
             runtime_in_sec=runtime, device=device, db_path=db_path,
             long_dim_length=long_dim_length)
-        logger.info("measured %s -> %.3es", params, runtime)
+        t_spent = time.time() - t_point
+        logger.info("measured %s -> %.3es (point took %.0fs)",
+                    params, runtime, t_spent)
+        if t_spent > 300:
+            # pathological Mosaic compiles eat whole tune budgets
+            # (observed r4: one div10 dg-pack point compiled ~17 min) —
+            # make them visible so the slow-compile class can be mapped
+            logger.warning("slow point: %.0f s wall for %s (likely a"
+                           " pathological Mosaic compile)", t_spent, params)
         if deferred_500:
             # a fresh point just measured => the helper pool healed:
             # give every deferred point another shot (front of queue)
