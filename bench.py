@@ -547,8 +547,15 @@ def _probe_backend(attempts: int = 8, probe_timeout: int = 150) -> None:
     the python probe snippet, ``BENCH_PROBE_SLEEP`` the 120 s retry gap.
     """
     import subprocess
-    probe_code = os.environ.get("BENCH_PROBE_CODE",
-                                "import jax; jax.devices()")
+    # the probe holds the cross-process device lock: attaching to the TPU
+    # while another feinsum_tpu process is mid-compile is the wedge class
+    # tpu_lock exists to prevent (a held lock just delays the probe; the
+    # subprocess timeout still bounds it)
+    probe_code = os.environ.get(
+        "BENCH_PROBE_CODE",
+        "from feinsum_tpu.tpu_lock import device_lock\n"
+        "with device_lock():\n"
+        "    import jax; jax.devices()")
     sleep_s = float(os.environ.get("BENCH_PROBE_SLEEP", "120"))
     stale_out = False
     for i in range(attempts):

@@ -165,22 +165,61 @@ def hoist_cses_in_jaxpr(closed):
             return ("lit-arr", id(a))          # arrays: unique, no CSE
         return ("var", id(canon.get(a, a)))
 
+    def _const_key(c, h):
+        """Feed one const's VALUE into the digest: the pretty-printed
+        jaxpr shows consts as avals only, so values must join the key or
+        alpha-equal closures over different coefficients would merge
+        (review r4: confirmed silent wrong numerics).  Big consts are too
+        expensive to fetch/hash (device consts pull through the ~35 MB/s
+        relay) — key them by identity, which only disables merging."""
+        try:
+            arr = np.asarray(c)
+        except Exception:  # noqa: BLE001
+            h.update(f"obj{id(c)}".encode())
+            return
+        if arr.size > 65536:
+            h.update(f"bigconst{id(c)}".encode())
+            return
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+
+    def _iter_closed(v):
+        if isinstance(v, ClosedJaxpr):
+            yield v
+        elif isinstance(v, (tuple, list)):
+            for b in v:
+                yield from _iter_closed(b)
+
+    def _feed_nested_consts(jaxpr, h):
+        """Nested sub-jaxprs' consts are invisible in the ancestor's
+        pretty-print too — walk them recursively."""
+        for eqn in jaxpr.eqns:
+            for v in eqn.params.values():
+                for cj in _iter_closed(v):
+                    for c in cj.consts:
+                        _const_key(c, h)
+                    _feed_nested_consts(cj.jaxpr, h)
+
     def subjaxpr_key(x):
         """Alpha-invariant structural key: jax's pretty-printer names vars
-        canonically per print, so equal strings <=> equal structure; consts
-        (ClosedJaxpr) join by value."""
+        canonically per print, so equal strings <=> equal structure; const
+        VALUES at every nesting depth join via a digest (stored keys stay
+        small — review r4 perf note)."""
+        import hashlib
         k = _subjaxpr_keys.get(id(x))
         if k is None:
+            h = hashlib.blake2b(digest_size=16)
             if isinstance(x, ClosedJaxpr):
-                consts = tuple(
-                    (str(np.asarray(c).dtype), np.asarray(c).shape,
-                     np.asarray(c).tobytes())
-                    if isinstance(c, (np.ndarray, np.generic)) or hasattr(
-                        c, "dtype") else ("obj", id(c))
-                    for c in x.consts)
-                k = ("closed-jaxpr", str(x.jaxpr), consts)
+                h.update(str(x.jaxpr).encode())
+                for c in x.consts:
+                    _const_key(c, h)
+                _feed_nested_consts(x.jaxpr, h)
+                k = ("closed-jaxpr", h.digest())
             else:
-                k = ("jaxpr", str(x))
+                h.update(str(x).encode())
+                _feed_nested_consts(x, h)
+                k = ("jaxpr", h.digest())
             _subjaxpr_keys[id(x)] = k
         return k
 

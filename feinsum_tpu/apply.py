@@ -163,6 +163,11 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
         return out
 
     def make_plan(row_infos, einsum):
+        from .tpu_lock import device_lock
+        with device_lock():    # spot-check compiles touch the device
+            return _make_plan_locked(row_infos, einsum)
+
+    def _make_plan_locked(row_infos, einsum):
         lengths = concrete_lengths(einsum)
         logical = tuple(lengths[ix] for ix in einsum.out_idx_set)
         # candidate ladder (same resilience as bench.measure_row): a
@@ -259,6 +264,11 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                   for info in row_infos for v in info.scale_vars]
 
     def fn2(*args):
+        from .tpu_lock import device_lock
+        with device_lock():    # first call compiles; serialize on-device
+            return _fn2_locked(*args)
+
+    def _fn2_locked(*args):
         targets = expr_vars + [v for v in scale_vars if v not in expr_vars]
         expr_vals = _backward_slice_eval(closed.jaxpr, closed.consts,
                                          args, targets) if targets \

@@ -15,8 +15,6 @@ import sqlite3
 
 from feinsum_tpu import sql_utils
 
-N_TIMING_COLS = 11      # column count of FEINSUM_TIMING_FACTS
-
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -28,8 +26,14 @@ def main() -> None:
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
-    conn = sqlite3.connect(args.db)
+    conn = sql_utils._connect(args.db)   # ensures the timings table too
     try:
+        # a DB where no retire ever ran has no stash table: report empty
+        # instead of a raw OperationalError (review r4 #6)
+        conn.execute(f"""
+            CREATE TABLE IF NOT EXISTS {sql_utils.RETIRED_TABLENAME} AS
+            SELECT *, '' AS retire_reason, '' AS retired_at
+            FROM {sql_utils.TIMINGS_TABLENAME} WHERE 0""")
         if args.list:
             for row in conn.execute(
                     f"SELECT rowid, subscripts, transform_id,"
@@ -61,9 +65,12 @@ def main() -> None:
             print(f"{'DRY ' if args.dry_run else ''}restore rowid={rid}"
                   f" [{subs}] {tid} {rt * 1e6:.0f}us")
         if not args.dry_run and rows:
+            # the timings table's own column list IS the restore set (the
+            # stash adds retire_reason/retired_at at the end); no slicing
+            # constant to rot if the schema grows (review r4 #3)
             cols = [d[1] for d in conn.execute(
                 f"PRAGMA table_info({sql_utils.TIMINGS_TABLENAME})")]
-            collist = ", ".join(cols[:N_TIMING_COLS])
+            collist = ", ".join(cols)
             conn.execute(
                 f"INSERT INTO {sql_utils.TIMINGS_TABLENAME} ({collist})"
                 f" SELECT {collist} FROM {sql_utils.RETIRED_TABLENAME}"

@@ -89,7 +89,8 @@ def _padded_block_bytes(dims, itemsize: int = 4) -> int:
 
 
 def schedule_intermediates_vmem_bytes(einsum, schedule, block_long: int,
-                                      grid_index: Optional[str] = None
+                                      grid_index: Optional[str] = None,
+                                      index_to_length: Optional[dict] = None
                                       ) -> int:
     """Per-grid-step VMEM held by a schedule's intermediate (non-final)
     step outputs, f32, lane/sublane-padded, all assumed live at once
@@ -103,11 +104,18 @@ def schedule_intermediates_vmem_bytes(einsum, schedule, block_long: int,
         params = [ix for ix, ln in einsum.index_to_dim_length.items()
                   if isinstance(ln, SizeParam)]
         grid_index = params[0] if params else None
+    if index_to_length is None:
+        index_to_length = {ix: ln for ix, ln
+                           in einsum.index_to_dim_length.items()
+                           if not hasattr(ln, "name")}   # concrete only
     total = 0
     for subs_ in schedule.subscripts[:-1]:
         out = subs_.split("->")[1]
+        # lengths come from the caller's dict (param axes substituted);
+        # int() on a raw SizeParam would raise TypeError THROUGH the
+        # guard instead of InvalidParameterError (review r4 #5)
         dims = [(block_long if ix == grid_index
-                 else int(einsum.index_to_dim_length[ix])) for ix in out]
+                 else int(index_to_length[ix])) for ix in out]
         total += _padded_block_bytes(dims)
     return total * einsum.b
 
@@ -164,7 +172,8 @@ def estimate_block_vmem_bytes(einsum, block_long: int,
     out_per_row = block_bytes(einsum.out_idx_set, 4) * 2
     if schedule is not None and schedule.nsteps > 1:
         inter_per_row = schedule_intermediates_vmem_bytes(
-            einsum, schedule, block_long, grid_index) // einsum.b
+            einsum, schedule, block_long, grid_index,
+            index_to_length=lengths) // einsum.b
     else:
         # intermediates: assume one extra output-sized f32 working set/row
         inter_per_row = out_per_row

@@ -169,7 +169,7 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
     else:
         guard_vmem(e, block_long)
     if keep_schedule:
-        pass
+        pass            # schedule already set with its guard above
     elif jfold:
         # outer-product-first schedule: multiply the streamed operands into
         # one intermediate (e.g. div's tmp[e,s,j] = J[e,s]*u[e,j]), then a

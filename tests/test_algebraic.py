@@ -217,3 +217,47 @@ def test_hoist_cses_merges_identical_nested_jit_calls():
     from jax.extend.core import jaxpr_as_fun
     np.testing.assert_allclose(np.asarray(jaxpr_as_fun(cj2)(x)[0]),
                                np.asarray(fn(x)), rtol=1e-6)
+
+
+def test_hoist_cses_never_merges_closures_over_different_consts():
+    """Review r4 (confirmed by repro): alpha-equal nested-jit calls whose
+    NESTED sub-jaxprs close over different constant values must NOT merge
+    — the pretty-print shows consts as avals only, so values must join
+    the key at every nesting depth."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(w):
+        @jax.jit
+        def h(x):
+            return x * w
+
+        @jax.jit
+        def o(x):
+            return h(x) + 1.0
+        return o
+
+    o1, o2 = make(2.0), make(3.0)
+
+    def fn(x):
+        return o1(x) + o2(x)
+
+    x = jnp.ones((4,), jnp.float32)
+    cj = jax.make_jaxpr(fn)(x)
+    cj2 = f.hoist_cses_in_jaxpr(cj)
+    from jax.extend.core import jaxpr_as_fun
+    np.testing.assert_allclose(np.asarray(jaxpr_as_fun(cj2)(x)[0]),
+                               np.asarray(fn(x)), rtol=1e-6)  # 7, not 6
+
+    # and identical nested consts still merge
+    o3, o4 = make(2.0), make(2.0)
+
+    def fn2(x):
+        return o3(x) + o4(x)
+
+    cj3 = f.hoist_cses_in_jaxpr(jax.make_jaxpr(fn2)(x))
+    n_jit = sum(1 for e in cj3.jaxpr.eqns
+                if e.primitive.name in ("pjit", "jit"))
+    assert n_jit == 1
+    np.testing.assert_allclose(np.asarray(jaxpr_as_fun(cj3)(x)[0]),
+                               np.asarray(fn2(x)), rtol=1e-6)
