@@ -67,11 +67,15 @@ def guard_vmem(einsum, block_long: int, *, long_dim_length: int = 100_000,
     need = estimate_block_vmem_bytes(einsum, block_long, lengths,
                                      schedule=schedule,
                                      split_rows=split_rows)
-    limit = VMEM_BUDGET_BYTES if limit_bytes is None else limit_bytes
+    # point-chosen limits get a 5% safety margin: the estimate cannot see
+    # every temporary (bf16_3x splits, preblock relayouts), and a live
+    # grad35 point at estimate 63.5 MiB crashed Mosaic's 64 MB limit
+    limit = (VMEM_BUDGET_BYTES if limit_bytes is None
+             else int(limit_bytes * 0.95))
     if need > limit:
         raise InvalidParameterError(
             f"block_long={block_long} needs ~{need >> 20} MiB VMEM"
-            f" (> {limit >> 20} MiB)")
+            f" (> {limit >> 20} MiB usable)")
 
 
 def prereduce_resident_private(einsum, schedule):
@@ -156,18 +160,23 @@ def fused_pallas_program(program, *, block_long: int, hoist: bool,
     long axis as (8, E/8) so short-dof arrays tile HBM exactly (no 35->40
     sublane padding; +15% streaming, scripts/tpu_fold_probe*.py)."""
     e = program.einsum
+    # guard against the point's OWN vmem_limit_bytes (vmem_idx): points
+    # whose demand exceeds it crash Mosaic deterministically and cost the
+    # tuner 3 retries + cooldowns each (observed r4 live on BOTH the
+    # lane_pack schedule-intermediate class and plain grad35 blkc>=31k at
+    # vmem_idx=0 — the fixed 100 MiB default missed the latter)
+    limit = (VMEM_MB_CHOICES[int(vmem_idx)] * 2 ** 20
+             if vmem_idx is not None else None)
     if keep_schedule:
         # the program carries a rewrite-built schedule (lane_pack DG
         # variant); the schedule-selection knobs were rejected upstream.
-        # Guard against the point's OWN vmem_limit_bytes including the
-        # schedule's intermediates (V/W both live into the last step).
+        # The estimate includes the schedule's intermediates (V/W both
+        # live into the last step).
         schedule = program.schedule
         guard_vmem(e, block_long, schedule=schedule,
-                   split_rows=bool(split_rows),
-                   limit_bytes=(VMEM_MB_CHOICES[int(vmem_idx)] * 2 ** 20
-                                if vmem_idx is not None else None))
+                   split_rows=bool(split_rows), limit_bytes=limit)
     else:
-        guard_vmem(e, block_long)
+        guard_vmem(e, block_long, limit_bytes=limit)
     if keep_schedule:
         pass            # schedule already set with its guard above
     elif jfold:

@@ -82,7 +82,7 @@ def sweep(which, points, deadline):
             print(f"{label}: best dd rate so far {rate:.1f} GOp/s"
                   f" ({time.time() - ts:.0f}s)", flush=True)
         except Exception as ex:  # noqa: BLE001
-            print(f"{label}: FAIL {type(ex).__name__}: {str(ex)[:200]}",
+            print(f"{label}: FAIL {type(ex).__name__}: {str(ex)[:2000]}",
                   flush=True)
 
 

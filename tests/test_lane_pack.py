@@ -316,3 +316,26 @@ def test_lane_pack_dg_vmem_guard_matches_live_evidence():
         else:
             with pytest.raises(InvalidParameterError, match="VMEM"):
                 sp(f.generate_program(ce), ce, **params)
+
+
+def test_generic_vmem_guard_uses_the_points_own_limit():
+    """r4 live (grad35 sweep): plain (non-pack) points at blkc128>=31 with
+    vmem_idx=0 crashed Mosaic deterministically — the generic guard
+    checked a fixed 100 MiB budget instead of the point's 64 MB limit."""
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    sp = get_transform_func_from_module_path("dg_grad_v0")
+    ce = f.canonicalize_einsum(_grad(35))
+    params = dict(log2_block=8, blkc128=32, dofmajor=True,
+                  parallel_grid=True, fold=False, preblock=True,
+                  precision_3x=True, hoist=True, jfold=False, mfold=False,
+                  prereduce=False, lane_pack_g=0, rowcat=False,
+                  split_rows=False, accum_f32=False, host_hoist=False)
+    with pytest.raises(InvalidParameterError, match="VMEM"):
+        sp(f.generate_program(ce), ce, **dict(params, vmem_idx=0))
+    # the same block is legal at the 128 MB limit (if the 100 MiB global
+    # budget also passes it) or rejected by it — but never by a limit the
+    # point didn't choose; grad35's real champion block stays valid:
+    sp(f.generate_program(ce), ce,
+       **dict(params, blkc128=20, vmem_idx=2, hoist=False, mfold=True,
+              fold=True, preblock=False, precision_3x=False))
