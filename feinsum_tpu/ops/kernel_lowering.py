@@ -174,12 +174,54 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
     k_ax = (max(k_candidates, key=lambda l: lengths[l])
             if k_candidates else None)
 
+    def _unroll_combos(keep_set):
+        un = [l for l in all_letters if l not in keep_set]
+        c = 1
+        for l in un:
+            c *= lengths[l]
+        return un, c
+
     keep = {l for l in (e_letter if e_present else None, n_ax, k_ax)
             if l is not None}
-    unroll = [l for l in all_letters if l not in keep]
-    combos = 1
-    for l in unroll:
-        combos *= lengths[l]
+    unroll, combos = _unroll_combos(keep)
+    if combos > MAX_UNROLL_COMBOS:
+        # Fallback K promotion (r4, unlocks tc_pallas_v0 on the TCCG
+        # shapes): the strict rule above refuses a contraction axis that
+        # is an unrolled dim in ANY factor, which can leave a big
+        # contracted axis (e.g. tccg_02's 312-long d) in the unroll set
+        # and blow the combos cap.  When that happens — and ONLY then, so
+        # every previously-buildable step lowers exactly as before — stack
+        # the straggler factors' slices over the largest contracted axis
+        # into an array dim (demoting their would-be-unrolled array dims
+        # first; those unroll regardless) and contract it on the MXU.
+        k2_pool = [l for l in contracted
+                   if l not in (e_letter, k_ax) and lengths[l] > 1]
+        k2 = max(k2_pool, key=lambda l: lengths[l]) if k2_pool else None
+        if k2 is not None:
+            cand_reps, ok = [], True
+            for r in factor_reps:
+                if k2 in r.small:
+                    while len(r.big) >= 2:
+                        demotable = [l for l in r.big
+                                     if l not in (e_letter, n_ax, k2)]
+                        if not demotable:
+                            break
+                        r = _demote(r, min(demotable,
+                                           key=lambda l: lengths[l]),
+                                    lengths)
+                    if len(r.big) >= 2:
+                        ok = False
+                        break
+                    r = _promote(r, k2, lengths, jnp)
+                cand_reps.append(r)
+            if ok and all(k2 in r.big
+                          for r in cand_reps if k2 in r.small + r.big):
+                keep2 = {l for l in (e_letter if e_present else None,
+                                     n_ax, k2) if l is not None}
+                unroll2, combos2 = _unroll_combos(keep2)
+                if combos2 <= MAX_UNROLL_COMBOS:
+                    factor_reps, k_ax = cand_reps, k2
+                    unroll, combos = unroll2, combos2
     if combos > MAX_UNROLL_COMBOS:
         raise InvalidParameterError(
             f"step unroll over {unroll} needs {combos} combos")
