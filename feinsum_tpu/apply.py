@@ -27,6 +27,7 @@ directly (see doc/compiler_writer_tutorial.md).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -82,6 +83,48 @@ def _backward_slice_eval(jaxpr, consts, args, targets, bindings=None):
     return {t: env[t] for t in targets}
 
 
+#: plan memo for :func:`compile_fn_with_archive`: recompiling the same fn
+#: (same jaxpr + consts + options + archive generation) costs one device
+#: spot-check round-trip PER PLAN through the relay (~26 ms each), so a
+#: solver calling compile_fn_with_archive per step would pay ~100+ ms/step
+#: warm.  Keyed on the traced jaxpr text + const bytes, and on the archive
+#: file's mtime so recorded facts invalidate cached plans.
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 32
+
+
+def _plan_cache_key(closed, long_dim_length, device, db_path, arg_names,
+                    validate, spot_check):
+    """Cache key for a traced fn, or None when caching would be unsound or
+    too costly (a closure const that is a big on-device array would have to
+    be fetched through the ~35 MB/s relay just to hash it)."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(str(closed.jaxpr).encode())
+    for c in closed.consts:
+        arr = c if isinstance(c, np.ndarray) else None
+        if arr is None:
+            try:
+                nbytes = int(getattr(c, "size", 1 << 62)) * int(
+                    np.dtype(getattr(c, "dtype", np.float64)).itemsize)
+                if nbytes <= 65536:
+                    arr = np.asarray(c)
+            except Exception:  # noqa: BLE001
+                return None
+        if arr is None:
+            return None
+        h.update(repr((arr.shape, str(arr.dtype))).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    from . import sql_utils
+    try:
+        mtime = os.path.getmtime(db_path or sql_utils.DEFAULT_DB)
+    except OSError:
+        mtime = 0.0
+    return (h.hexdigest(), long_dim_length, str(device), db_path,
+            tuple(arg_names) if arg_names is not None else None,
+            validate, spot_check, mtime)
+
+
 def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                             device=None,
                             db_path: Optional[str] = None,
@@ -105,6 +148,11 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     ``validate=True`` for the full-size oracle check instead, or
     ``spot_check=False`` to skip both (fastest plan construction, trusts
     the archive).
+
+    Repeat calls with the same traced jaxpr (same fn structure, shapes,
+    dtypes, closure constants) and options return a memoized compiled
+    callable without re-querying or re-spot-checking; recording new facts
+    into the archive invalidates the memo (keyed on the DB file's mtime).
     """
     import jax
     import jax.numpy as jnp
@@ -121,6 +169,10 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     ((closed, out_shape), labels, sources, _names, out_sums,
      (epi_out, frontier)) = _collect_instructions(
         fn, example_args, arg_names=arg_names, epilogue=True)
+    cache_key = _plan_cache_key(closed, long_dim_length, device, db_path,
+                                arg_names, validate, spot_check)
+    if cache_key is not None and cache_key in _PLAN_CACHE:
+        return _PLAN_CACHE[cache_key]
     infos = _insn_infos(out_sums, sources)
     insns = [(oi, ti, term)
              for oi, terms in enumerate(out_sums)
@@ -336,4 +388,8 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
     # InsnInfos batched those instructions into one b-row kernel
     fn2.plans = tuple((row_infos, einsum, program)
                       for row_infos, einsum, program, _exe, _lg in plans)
+    if cache_key is not None:
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[cache_key] = fn2
     return fn2

@@ -441,3 +441,48 @@ def test_dg_lane_pack_champion_served_from_archive(tmp_path):
     got, ref = fn2(*args), user(*args)
     for g_, r_ in zip(got, ref):
         _close(g_, r_)
+
+
+def test_plan_cache_memoizes_and_invalidates(tmp_path):
+    import os
+    import shutil
+    import time
+
+    from feinsum_tpu import apply as apply_mod
+    from feinsum_tpu import sql_utils
+
+    db = str(tmp_path / "memo.sqlite")
+    shutil.copy(sql_utils.DEFAULT_DB, db)
+    d = _data()
+
+    def user(J, D, u):
+        return jnp.einsum("es,sij,ej->ei", J, D, u)
+
+    args = [d["J"], d["D"], d["u"]]
+    fn_a = f.compile_fn_with_archive(user, args, db_path=db)
+    fn_b = f.compile_fn_with_archive(user, args, db_path=db)
+    assert fn_b is fn_a          # memo hit: same jaxpr + options + archive
+
+    # a DIFFERENT structure (or option set) must not collide
+    fn_c = f.compile_fn_with_archive(user, args, db_path=db,
+                                     long_dim_length=777)
+    assert fn_c is not fn_a
+
+    # recording into the archive (any mtime bump) invalidates the memo
+    t = time.time() + 2
+    os.utime(db, (t, t))
+    fn_d = f.compile_fn_with_archive(user, args, db_path=db)
+    assert fn_d is not fn_a
+    _close(fn_d(*args), user(*args))
+
+    # a big on-device closure const would have to be pulled through the
+    # relay to hash -> caching is skipped, never wrong
+    big = jnp.asarray(np.random.default_rng(2).random((1024, 64),
+                                                      np.float32))
+
+    def closure_fn(J, D, u):
+        return jnp.einsum("es,sij,ej->ei", J, D, u) + big[:, :8] * 0.0
+
+    key = apply_mod._plan_cache_key(
+        jax.make_jaxpr(closure_fn)(*args), 100, None, db, None, False, True)
+    assert key is None
