@@ -276,7 +276,9 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
     """Explore *module_path*'s transform space on *einsum*, recording every
     measured point into the archive (parity: reference
     tuning/__init__.py:573-633; search driver is first-party: seeded random +
-    mutation hill-climb instead of OpenTuner).
+    mutation hill-climb instead of OpenTuner).  *test_limit* bounds the
+    number of MEASURED (or expensively-failed) points; host-side guard
+    rejections are free and don't consume it.
 
     With *cost_model* (default), random proposals are drawn in pools and
     ranked by the analytic per-launch predictor
@@ -422,8 +424,17 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
     while True:
         if stop_after is not None and time.time() - t_start > stop_after:
             break
-        if test_limit is not None and n_tested >= test_limit:
-            break
+        if test_limit is not None:
+            # guard rejections (InvalidParameterError at bind/lowering
+            # time, host-side, no compile) don't consume the budget —
+            # composition guards reject most RANDOM draws in the grown
+            # DG space (observed 14/16), which starved small-test_limit
+            # runs of any measured point.  Hard draw cap so a fully-
+            # invalid space still terminates.
+            if n_tested - n_invalid >= test_limit:
+                break
+            if n_tested >= 40 * test_limit + 64:
+                break
         if stop_after is None and test_limit is None and n_tested >= 100:
             break
         params = None
