@@ -72,13 +72,24 @@ def main():
               f" rowcat={getattr(program.descriptor, 'rowcat', 1)}",
               flush=True)
 
-    # numeric check at full length vs the raw traced fn on-device
-    got = np.asarray(fn2(*args))
-    ref = np.asarray(wave_rhs(*args))
-    scale = np.abs(ref).max() or 1.0
-    err = np.abs(got - ref).max() / scale
-    print(f"full-length numeric check: max rel err {err:.2e}", flush=True)
-    assert err < 2e-4, err
+    # numeric check at full length vs an f64 HOST oracle.  The raw jitted
+    # fn is NOT a reference: XLA's default f32 dot precision on this TPU is
+    # one-pass bf16 (~1e-3 rel err — CLAUDE.md), so comparing against it
+    # asserts nothing about OUR kernels.  The consumer contract is "at
+    # least as accurate as the user's own jax.jit would have been".
+    h = {k: np.asarray(v, np.float64) for k, v in d.items()}
+    oracle = ((np.einsum("es,sij,ej->ei", h["Jx"], h["R"], h["ux"])
+               + np.einsum("es,sij,ej->ei", h["Jy"], h["R"], h["uy"])
+               + np.einsum("es,sij,ej->ei", h["Jz"], h["R"], h["uz"]))
+              - 0.5 * np.einsum("e,ij,ej->ei", h["jac"], h["M"], h["ux"]))
+    got = np.asarray(fn2(*args), np.float64)
+    raw = np.asarray(wave_rhs(*args), np.float64)
+    scale = np.abs(oracle).max() or 1.0
+    err_got = np.abs(got - oracle).max() / scale
+    err_raw = np.abs(raw - oracle).max() / scale
+    print(f"full-length numeric check vs f64 oracle: compiled"
+          f" {err_got:.2e}, raw-XLA {err_raw:.2e}", flush=True)
+    assert err_got < max(5e-5, 1.5 * err_raw), (err_got, err_raw)
 
     jfn = jax.jit(fn2b)
     jax.block_until_ready(jfn(*args))
