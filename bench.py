@@ -165,11 +165,11 @@ def fp64_suite():
     subprocess exit 1 — observed twice, bench r2b/r2c: all post-fp64 rows
     failed while persistent-cache hits sailed through), so nothing that
     still needs a compile may run after it."""
-    # grad FIRST: its only candidates are fresh compiles (dd Mosaic, then
-    # XLA-f64 fallback) — if div ran first and fell back to XLA-f64, the
-    # sick compile helpers would kill every fresh grad compile.  div
-    # SECOND survives either way: its archived champion is warm in the
-    # persistent cache, and cache hits sail through sick helpers.
+    # grad FIRST: its candidates are fresh compiles (archived XLA rows,
+    # then dd only if a dd fact exists) — if div ran first and its own
+    # XLA-f64 compile sickened the pool, every fresh grad compile would
+    # die.  div SECOND survives either way: its archived champion is warm
+    # in the persistent cache, and cache hits sail through sick helpers.
     rows = [("dg_grad_ndof35_fp64", make_grad(35, "float64"), 2002.4),
             ("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6)]
     # fp64-everywhere parity (the reference archive is all-fp64): mass and
@@ -263,23 +263,25 @@ def candidate_transforms(name, einsum):
                 f" ({q.total_giga_op_rate:.0f} GOp/s, {proto})"), q.transform
 
     if any(a.dtype == "float64" for row in einsum.args for a in row):
-        # Compiling the gigantic XLA f64-emulation module CRASHES the
-        # remote compile helpers (subprocess exit 1 → HTTP 500), and the
-        # sick helpers then kill every LATER fresh compile in this process
-        # (live bench 2026-08-19: grad_fp64 lost all six candidates this
-        # way, including the safe dd kernel queued after the XLA rows).
-        # Pure-f32 Mosaic dd compiles never hurt the helpers, so every dd
-        # candidate — archived rows, then the first-party double-double
-        # built-in (ops/dd_emitter.py: zero HBM temps vs XLA's ~29 GB
-        # f64-emulation decomposition) — runs BEFORE the first XLA-f64
-        # compile.
+        # The "dd compiles are helper-safe" theory is DEAD (live bench
+        # 2026-08-19 14:50): the dd built-in was this process's FIRST
+        # fp64 compile, 500'd instantly, and the sickened pool then ate
+        # grad's XLA-f64 candidates too — the row was lost entirely.
+        # (The 13:16 dd sweep 500'd instantly in two fresh processes as
+        # well: this relay build rejects dd modules outright, and the
+        # relay truncates the helper error so the cause is undiagnosable
+        # remotely.)  So: archived XLA rows FIRST — they are proven to
+        # compile here — and dd candidates only when the archive holds a
+        # dd fact for this class, i.e. dd has demonstrably compiled on
+        # this platform; the tune_dd sweeps stay the discovery mechanism.
         dd_rows = [q for q in distinct if "dd_" in q.transform_id]
         xla_rows = [q for q in distinct if "dd_" not in q.transform_id]
-        for rank, q in enumerate(dd_rows[:3]):
-            yield archive_entry(rank, q)
-        yield "built-in dd_pallas (f32-pair VPU)", _dd_builtin
         for rank, q in enumerate(xla_rows[:2]):
-            yield archive_entry(len(dd_rows[:3]) + rank, q)
+            yield archive_entry(rank, q)
+        for rank, q in enumerate(dd_rows[:2]):
+            yield archive_entry(len(xla_rows[:2]) + rank, q)
+        if dd_rows:
+            yield "built-in dd_pallas (f32-pair VPU)", _dd_builtin
     else:
         for rank, q in enumerate(distinct[:4]):
             yield archive_entry(rank, q)
