@@ -173,9 +173,11 @@ def fp64_suite():
     rows = [("dg_grad_ndof35_fp64", make_grad(35, "float64"), 2002.4),
             ("dg_div_ndof35_fp64", make_div(35, "float64"), 1945.6)]
     # fp64-everywhere parity (the reference archive is all-fp64): mass and
-    # face rows join ONLY when the archive already holds a dd_pallas fact
-    # for them (tune_dd bonus passes), so they are cheap warm replays —
-    # never a fresh XLA-f64 emulation compile, which crashes the helpers.
+    # face rows join ONLY when the archive already holds ANY fact for them
+    # (xla_v0 chunked rows from scripts/r4_fp64_facts.py, or dd rows if dd
+    # ever compiles on this relay build), so bench replays measured
+    # champions instead of gambling an unproven fresh XLA-f64 emulation
+    # compile — which sickens the helper pool for every row after it.
     ndof = 35
     mass64 = f.einsum("e,ij,ej->ei",
                       f.array("jac", ("E",), "float64"),
@@ -188,14 +190,14 @@ def fp64_suite():
     for name, e64, ref in (("dg_mass_ndof35_fp64", mass64, 1393.7),
                            ("dg_face_mass_fp64", face64, 2186.0)):
         try:
-            has_dd = any("dd_" in q.transform_id for q in sql_utils.query(e64))
+            has_fact = bool(sql_utils.query(e64, err_if_no_results=False))
         except Exception:  # noqa: BLE001
-            has_dd = False
-        if has_dd:
+            has_fact = False
+        if has_fact:
             rows.append((name, e64, ref))
         else:
-            log(f"{name}: no archived dd fact yet — skipping (fresh XLA-f64"
-                " compiles are helper-killers)")
+            log(f"{name}: no archived fp64 fact yet — skipping (unproven"
+                " fresh XLA-f64 compiles are helper-killers)")
     return rows
 
 # }}}

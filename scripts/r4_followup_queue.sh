@@ -70,13 +70,24 @@ run() {
     echo "=== rc=$? $(date '+%T')" | tee -a $LOG
 }
 
-# 2. tc_pallas on the K-promotion-unlocked classes (budget self-limits)
-run 1800 python scripts/tune_tc_pallas.py 1200 2 5
+# Budgets are sized to fit the ~27 min window left when the main queue
+# runs to its natural end (opportunistic loop exits at deadline-1600):
+# each step self-limits internally; the outer timeout is a never-on-a-
+# healthy-run backstop.
+
+# 2. tc_pallas on the K-promotion-unlocked classes (budget self-limits;
+#    tccg_02 first — it re-timed at 59.5%, the weakest TCCG row)
+run 1100 python scripts/tune_tc_pallas.py 700 2 5
 
 # 3. consumer probe (fixed f64 oracle)
-run 1500 python scripts/tpu_consumer_probe.py
+run 900 python scripts/tpu_consumer_probe.py
 
-# 4. leftover window: keep tuning the weakest headline rows
+# 4. fp64 facts for the classes bench still can't show (face64) — MUST be
+#    the last fresh-compile step before opportunistic cycles: the f64
+#    compile sickens the helper pool for several minutes
+run 1100 python scripts/r4_fp64_facts.py "$DEADLINE"
+
+# 5. leftover window: keep tuning the weakest headline rows
 while [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ]; do
     for cls in div4 grad4 div10 grad10 matvec face mass; do
         [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ] || break
