@@ -486,3 +486,46 @@ def test_plan_cache_memoizes_and_invalidates(tmp_path):
     key = apply_mod._plan_cache_key(
         jax.make_jaxpr(closure_fn)(*args), 100, None, db, None, False, True)
     assert key is None
+
+
+def test_shared_expr_operand_across_plans_evaluates_once():
+    # reference cse.py's purpose at the consumer surface: an operand
+    # EXPRESSION feeding two structurally-different einsums (two separate
+    # plans) must be computed once per call, not once per plan.  The
+    # whole expr/scale pass is a single _backward_slice_eval walk whose
+    # env computes each equation once; this pins that contract.
+    from feinsum_tpu import apply as apply_mod
+
+    d = _data()
+
+    def user(J, D, u):
+        w = jnp.tanh(J)                              # shared expression
+        vol = jnp.einsum("es,sij,ej->ei", w, D, u)   # div class
+        tot = jnp.einsum("es->e", w)                 # rowsum class
+        return vol, tot
+
+    args = [d["J"], d["D"], d["u"]]
+    fn2 = f.compile_fn_with_archive(user, args)
+    assert len(fn2.plans) == 2     # genuinely separate plans
+
+    calls = []
+    orig = apply_mod._backward_slice_eval
+
+    def counting(*a, **kw):
+        calls.append(a[3])         # the targets argument
+        return orig(*a, **kw)
+
+    apply_mod._backward_slice_eval = counting
+    try:
+        got = fn2(*args)
+    finally:
+        apply_mod._backward_slice_eval = orig
+
+    ref = user(*args)
+    _close(got[0], ref[0])
+    _close(got[1], ref[1])
+    # one expr/scale pass for the whole call (no epilogue here); the
+    # tanh var appears once in its targets even though both plans use it
+    assert len(calls) == 1
+    tanh_vars = [v for v in calls[0] if str(v.aval.shape) == str(d["J"].shape)]
+    assert len(tanh_vars) == 1

@@ -430,12 +430,15 @@ def test_bench_candidate_ladder_dedups(monkeypatch):
     assert labels[-1] == "built-in default"
 
 
-def test_bench_f64_ladder_tries_dd_before_xla(monkeypatch):
-    """XLA-f64 emulation compiles crash the remote compile helpers and the
-    sick helpers then kill every later fresh compile in-process (live bench
-    2026-08-19: grad_fp64 lost all six candidates).  Contract: for f64 rows
-    every dd candidate (archived rows + the built-in) is yielded BEFORE the
-    first XLA-f64 candidate; fp32 ladders are unchanged."""
+def test_bench_f64_ladder_proven_rows_first(monkeypatch):
+    """fp64 ladder contract (2026-08-19, supersedes dd-first): this relay
+    build rejects dd modules outright (the 13:16 sweep 500'd instantly in
+    two fresh processes) and a failed dd compile sickens the helper pool,
+    eating every later candidate (live bench 14:50 lost the whole grad
+    row).  So for f64 rows: archived non-dd rows FIRST (proven to compile
+    here), then archived dd rows, and the dd built-in ONLY when the
+    archive proves dd has compiled on this platform; fp32 ladders are
+    unchanged."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -453,24 +456,25 @@ def test_bench_f64_ladder_tries_dd_before_xla(monkeypatch):
             self.compiler_version = "jax=x timing-proto3"
             self.transform = lambda p: p
 
-    # archive champion is XLA (today's real state for grad_fp64): the dd
-    # archived row AND the dd built-in must still be attempted first
+    # archive holds both kinds: XLA rows first even when a dd row out-rates
+    # them; dd built-in allowed because a dd fact exists; default last
     monkeypatch.setattr(bench.sql_utils, "query",
                         lambda einsum, *a, **k: [
                             FakeQ("xla_v0.py", 100.0),
-                            FakeQ("dd_pallas_v0.py", 5.0),
+                            FakeQ("dd_pallas_v0.py", 500.0),
                             FakeQ("xla_v0.py", 90.0)])
     labels = [label for label, _ in bench.candidate_transforms("row", e64)]
-    first_xla = next(i for i, s in enumerate(labels) if "xla_v0" in s)
-    assert all("dd" in s for s in labels[:first_xla]) and first_xla >= 2
-    assert any("built-in dd_pallas" in s for s in labels[:first_xla])
+    first_dd = next(i for i, s in enumerate(labels) if "dd" in s)
+    assert all("xla_v0" in s for s in labels[:first_dd]) and first_dd == 2
+    assert any("built-in dd_pallas" in s for s in labels)
     assert labels[-1] == "built-in default"
 
-    # no archived dd rows at all: built-in dd still precedes any XLA row
+    # no archived dd rows: the dd built-in must NOT be gambled at all
     monkeypatch.setattr(bench.sql_utils, "query",
                         lambda einsum, *a, **k: [FakeQ("xla_v0.py", 100.0)])
     labels = [label for label, _ in bench.candidate_transforms("row", e64)]
-    assert labels[0] == "built-in dd_pallas (f32-pair VPU)"
+    assert not any("dd" in s for s in labels)
+    assert labels[-1] == "built-in default"
 
 
 def test_shipped_archive_integrity():
