@@ -82,6 +82,29 @@ def transform(program, n_grid, precision_idx, use_opt_path):
         raise InvalidParameterError(
             f"grid over {grid_letters} leaves ~{combos} unrolled slices")
 
+    # Mosaic block rule (every K-promotion point 500'd live 2026-08-19):
+    # a gridded letter among an operand's last-two STORED dims makes the
+    # block's trailing shape (..., 1) — neither 8/128-divisible nor equal
+    # to the array dim.  Store gridded letters LEADING in every operand
+    # (the grid then slices leading axes and the trailing tile stays the
+    # full array dims, always legal); the output already leads with the
+    # grid letters by construction.
+    arg_layouts = []
+    for pos, idx_set in enumerate(e.in_idx_sets):
+        if not any(l in grid_letters for l in idx_set):
+            continue
+        non_grid = [l for l in idx_set if l not in grid_letters]
+        if len(non_grid) < 2:
+            raise InvalidParameterError(
+                f"operand {pos} has {len(non_grid)} non-gridded axes; its"
+                " Pallas block would end in a 1-sized trailing dim"
+                " (Mosaic last-two-dims rule)")
+        perm = tuple([idx_set.index(l) for l in idx_set
+                      if l in grid_letters]
+                     + [idx_set.index(l) for l in non_grid])
+        if perm != tuple(range(len(idx_set))):
+            arg_layouts.append((e.args[0][pos].name, perm))
+
     schedule = (get_opt_einsum_contraction_schedule(e) if use_opt_path
                 else get_trivial_contraction_schedule(e))
     return program.copy(
@@ -89,6 +112,7 @@ def transform(program, n_grid, precision_idx, use_opt_path):
         descriptor=ScheduleDescriptor(
             backend="pallas",
             grid_index=grid_letters,
+            arg_layouts=tuple(arg_layouts),
             precision=_PRECISIONS[precision_idx],
             dimension_semantics="parallel"))
 

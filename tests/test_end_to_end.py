@@ -137,3 +137,35 @@ def test_tc_gemm_v0_fused2d():
         sp.bind_args(be, log2_block=8, blkc128=0, backend_pallas=False,
                      precision_idx=0, swap=False, dofmajor=False,
                      fold=False, vmem_idx=2)(f.generate_program(be))
+
+
+def test_multigrid_tc_blocks_legal_for_mosaic():
+    """Every K-promotion-era tc_pallas point 500'd live (2026-08-19): a
+    gridded letter among an operand's last-two stored dims gives the block
+    a trailing 1 — illegal under Mosaic's last-two-dims rule.  The
+    transform must store gridded letters LEADING (arg_layouts), and the
+    real (non-interpret) TPU lowering must succeed — checked host-side by
+    AOT cross-lowering, no TPU needed."""
+    from dataclasses import replace
+
+    import jax
+
+    from feinsum_tpu.codegen.program import build_executable
+    from feinsum_tpu.measure import apply_layouts, generate_input_arrays
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    # tccg_02: dca,bd->abc — grid letter 'a' is operand 0's LAST axis
+    e = f.get_tccg_benchmark(2, dtype="float32")
+    sp = get_transform_func_from_module_path("tc_pallas_v0")
+    tr = sp.bind_args(e, n_grid=1, precision_idx=0, use_opt_path=False)
+    prog = tr(f.generate_program(e))
+    layouts = prog.descriptor.arg_layouts_map
+    name0 = e.args[0][0].name
+    assert layouts[name0][0] == e.in_idx_sets[0].index("a")
+
+    prog = replace(prog, descriptor=replace(prog.descriptor,
+                                            interpret=False))
+    fn = build_executable(prog, long_dim_length=100)
+    arrays = apply_layouts(prog, generate_input_arrays(
+        e, long_dim_length=100, seed=0))
+    jax.jit(fn).trace(arrays).lower(lowering_platforms=("tpu",))
