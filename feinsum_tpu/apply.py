@@ -41,6 +41,47 @@ from .matching import (
 )
 
 
+# Measured v5e facts (scripts/tpu_stream_probe.py, CLAUDE.md): an in-graph
+# transpose/retile runs ~64 GB/s end-to-end; contiguous concatenation
+# streams near the dof-major ceiling.  Used to score archived candidates
+# by PER-CALL cost in the consumer path, where layouts are applied
+# in-graph (bench/timeit pre-apply them outside the timed span — live
+# consumer probe 2026-08-19: the kernel-fastest champion ran 4.3x slower
+# than raw XLA end-to-end at E=1M because of exactly this).
+_RETILE_GBPS = 64.0
+_STREAM_GBPS = 600.0
+
+
+def _per_call_relayout_seconds(program, idx_lengths):
+    """Estimated per-call seconds this *program*'s HBM storage contract
+    costs when applied in-graph at call time: arg_layouts/out_layout
+    transposes retile; rowcat concatenations stream; fold/preblock/
+    lane_pack splits are free row-major views."""
+    e = program.einsum
+    desc = program.descriptor
+    sizes = {}
+    for row in e.args:
+        for arg, idx in zip(row, e.in_idx_sets):
+            n = arg.dtype.itemsize
+            for l in idx:
+                n *= int(idx_lengths[l])
+            sizes[arg.name] = n
+    secs = 0.0
+    for name, perm in desc.arg_layouts_map.items():
+        if tuple(perm) != tuple(range(len(perm))) and name in sizes:
+            secs += 2 * sizes[name] / (_RETILE_GBPS * 1e9)
+    ol = desc.out_layout
+    if ol is not None and tuple(ol) != tuple(range(len(ol))):
+        out_n = 4
+        for l in e.out_idx_set:
+            out_n *= int(idx_lengths[l])
+        secs += 2 * e.b * out_n / (_RETILE_GBPS * 1e9)
+    for new, _olds in (getattr(desc, "rowcat_args", ()) or ()):
+        # the stacked operand lives in program.einsum under its NEW name
+        secs += 2 * sizes.get(new, 0) / (_STREAM_GBPS * 1e9)
+    return secs
+
+
 def _backward_slice_eval(jaxpr, consts, args, targets, bindings=None):
     """Evaluate the jaxpr variables *targets* from *args* by interpreting
     only the backward slice of equations that feed them.  *bindings*
@@ -237,8 +278,40 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
             key = (q.transform_id, q.transform_params)
             if key not in seen:
                 seen.add(key)
-                candidates.append(q.transform)
-        for transform in candidates[:3] + [None]:
+                candidates.append(q)
+        # rank candidates by estimated PER-CALL cost: archived kernel time
+        # at this call's sizes PLUS the in-graph relayout its storage
+        # contract costs here (bench pre-applies layouts outside the timed
+        # span; the consumer path pays them per call — live probe
+        # 2026-08-19: the kernel-fastest champion was 4.3x slower
+        # end-to-end than raw XLA at E=1M).  A layout-free archived row
+        # (e.g. xla_v0) with a lower rate can therefore outrank it.
+        from .einsum import SizeParam
+        from .measure import evaluate_giga_op_map, get_giga_op_map
+
+        long_val = max((lengths[ix] for ix, ln
+                        in einsum.index_to_dim_length.items()
+                        if isinstance(ln, SizeParam)),
+                       default=max(lengths.values()))
+        gops = None
+        scored = []
+        for q in candidates[:6]:
+            est = float("inf")
+            try:
+                rate = float(q.total_giga_op_rate)
+                if rate > 0:
+                    if gops is None:
+                        gops = sum(
+                            float(v) for v in evaluate_giga_op_map(
+                                get_giga_op_map(einsum), long_val).values())
+                    prg = q.transform(generate_program(einsum))
+                    est = gops / rate + _per_call_relayout_seconds(
+                        prg, program_lengths(prg, einsum, lengths))
+            except Exception:  # noqa: BLE001
+                pass           # unrankable: keep, at rate order, after
+            scored.append((est, q.transform))
+        scored.sort(key=lambda t: t[0])    # stable: inf ties keep rate order
+        for transform in [t for _est, t in scored[:3]] + [None]:
             try:
                 if transform is not None:
                     if validate:

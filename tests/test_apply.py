@@ -529,3 +529,51 @@ def test_shared_expr_operand_across_plans_evaluates_once():
     assert len(calls) == 1
     tanh_vars = [v for v in calls[0] if str(v.aval.shape) == str(d["J"].shape)]
     assert len(tanh_vars) == 1
+
+
+def test_plan_prefers_layout_free_row_when_relayout_dominates(tmp_path):
+    """Consumer-path candidate scoring (live probe 2026-08-19: the
+    kernel-fastest champion ran 4.3x slower end-to-end than raw XLA at
+    E=1M): a faster-kernel row whose storage contract transposes a
+    streamed operand per call must lose to a slower layout-free row once
+    the modeled in-graph retile cost (~64 GB/s) dominates."""
+    from feinsum_tpu import sql_utils
+
+    mod = tmp_path / "lay_v0.py"
+    mod.write_text(
+        "from feinsum_tpu.codegen.descriptor import ScheduleDescriptor\n"
+        "from feinsum_tpu.tuning import BoolParameter, transform_param\n"
+        "\n"
+        "@transform_param('lay', lambda e: BoolParameter())\n"
+        "def transform(program, lay):\n"
+        "    e = program.einsum\n"
+        "    layouts = (((e.args[0][0].name, (1, 0)),) if lay else ())\n"
+        "    return program.copy(descriptor=ScheduleDescriptor(\n"
+        "        backend='xla', arg_layouts=layouts))\n")
+
+    db = str(tmp_path / "scratch.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                 f.array("D", (20, 20), "float32"))
+    dev = f.FakeDevice("TPU v5 lite")
+    # transposing row: 3x the kernel rate; layout-free row: slower kernel
+    sql_utils.record_facts(e, transform_id=str(mod),
+                           transform_params={"lay": True},
+                           runtime_in_sec=1e-6, device=dev, db_path=db,
+                           long_dim_length=2048)
+    sql_utils.record_facts(e, transform_id=str(mod),
+                           transform_params={"lay": False},
+                           runtime_in_sec=3e-6, device=dev, db_path=db,
+                           long_dim_length=2048)
+
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.random((2048, 20), np.float32))
+    M = jnp.asarray(rng.random((20, 20), np.float32))
+
+    def user(dofs, op):
+        return jnp.einsum("nq,dq->nd", dofs, op)
+
+    fn2 = f.compile_fn_with_archive(user, [u, M], db_path=db, device=dev,
+                                    long_dim_length=500)
+    _close(fn2(u, M), user(u, M))
+    (_infos, _e, program), = fn2.plans
+    assert program.descriptor.arg_layouts == ()   # layout-free row won
