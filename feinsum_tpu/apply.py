@@ -54,31 +54,61 @@ _STREAM_GBPS = 600.0
 
 def _per_call_relayout_seconds(program, idx_lengths):
     """Estimated per-call seconds this *program*'s HBM storage contract
-    costs when applied in-graph at call time: arg_layouts/out_layout
-    transposes retile; rowcat concatenations stream; fold/preblock/
-    lane_pack splits are free row-major views."""
+    costs when applied in-graph at call time.  Charged at the RETILE rate:
+    arg_layouts/out_layout transposes, pre_layouts regroupings, and
+    lane_pack packing (the lane dim changes d -> g*d — under T(8,128)
+    tiling that is a physical retile, per the measured fold-8 facts).
+    Charged at the STREAM rate: rowcat concatenation and dd pair
+    splitting.  fold/preblock splits keep the lane dim and are free
+    row-major views."""
+    from .einsum import SizeParam
+
     e = program.einsum
     desc = program.descriptor
+    # build_executable rescales every SizeParam axis: *rc for rowcat
+    # (stacked operands hold rc*E rows), /g for lane_pack (g elements per
+    # packed row) — size the stored buffers the same way
+    rc = getattr(desc, "rowcat", 1) or 1
+    gp = getattr(desc, "lane_pack", 1) or 1
+    stretched = {ix: (int(ln) * rc // gp if isinstance(
+        e.index_to_dim_length.get(ix), SizeParam) else int(ln))
+        for ix, ln in idx_lengths.items()}
     sizes = {}
     for row in e.args:
         for arg, idx in zip(row, e.in_idx_sets):
             n = arg.dtype.itemsize
             for l in idx:
-                n *= int(idx_lengths[l])
+                n *= stretched[l]
             sizes[arg.name] = n
-    secs = 0.0
+    retiled = set()
     for name, perm in desc.arg_layouts_map.items():
         if tuple(perm) != tuple(range(len(perm))) and name in sizes:
-            secs += 2 * sizes[name] / (_RETILE_GBPS * 1e9)
+            retiled.add(name)
+    for name, _nested in dict(getattr(desc, "pre_layouts", ()) or ()).items():
+        if name in sizes:
+            retiled.add(name)
+    g = getattr(desc, "lane_pack", 1) or 1
+    if g > 1:
+        for entry in getattr(desc, "lane_pack_args", ()) or ():
+            name = entry[0] if isinstance(entry, tuple) else entry
+            if name in sizes:
+                retiled.add(name)
+    secs = sum(2 * sizes[n] for n in retiled) / (_RETILE_GBPS * 1e9)
     ol = desc.out_layout
     if ol is not None and tuple(ol) != tuple(range(len(ol))):
-        out_n = 4
-        for l in e.out_idx_set:
-            out_n *= int(idx_lengths[l])
-        secs += 2 * e.b * out_n / (_RETILE_GBPS * 1e9)
+        from .codegen.program import output_dtype
+        for r in range(e.b):
+            out_n = np.dtype(output_dtype(e, r)).itemsize
+            for l in e.out_idx_set:
+                out_n *= stretched[l]
+            secs += 2 * out_n / (_RETILE_GBPS * 1e9)
     for new, _olds in (getattr(desc, "rowcat_args", ()) or ()):
         # the stacked operand lives in program.einsum under its NEW name
         secs += 2 * sizes.get(new, 0) / (_STREAM_GBPS * 1e9)
+    if getattr(desc, "dd_pairs", False):
+        f64 = sum(sizes[a.name] for row in e.args
+                  for a in row if a.dtype == np.float64)
+        secs += 2 * f64 / (_STREAM_GBPS * 1e9)
     return secs
 
 

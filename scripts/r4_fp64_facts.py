@@ -46,7 +46,8 @@ def main():
             print("deadline: stopping", flush=True)
             return
         have = [q for q in sql_utils.query(e64, err_if_no_results=False)
-                if "log2_chunk" in (q.transform_params or "")]
+                if any(k == "log2_chunk"
+                       for k, _v in (q.transform_params or ()))]
         if have:
             print(f"{name}: chunked fact already archived — skipping",
                   flush=True)

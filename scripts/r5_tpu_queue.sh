@@ -6,15 +6,17 @@
 # pointing the watchdog (or a manual launch) here:
 #   QUEUE_HARD_DEADLINE=<epoch> bash scripts/r5_tpu_queue.sh [start-step]
 #
-# Priorities (bench-first, then the r4 loose ends):
-#   0  pip self-heal (the 2026-08-19 reboot wiped site-packages)
-#   1  full bench — pre-warms every champion in the persistent compile
+# Steps (numbers match the logged [N] indices and [start-step];
+# pip self-heal always runs first, unnumbered):
+#   0  full bench — pre-warms every champion in the persistent compile
 #      cache for the driver's capture AND verifies the headline live
-#   2  consumer probe — confirm the relayout-aware candidate scoring
+#   1  consumer probe — confirm the relayout-aware candidate scoring
 #      (d53e67c) recovers the 0.23x end-to-end ratio on hardware
-#   3  reevaluate (proto3 re-time + retire) — tccg_02's stale 9124 GOp/s
+#   2  reevaluate (proto3 re-time + retire) — tccg_02's stale 9124 GOp/s
 #      pre-proto3 rows still lead its table (honest 5429 = 59.5%)
-#   4  opportunistic small-ndof rotation until the deadline
+#   then: opportunistic small-ndof rotation until the deadline
+#      (div10 FIRST — it measured 55.5% through its honest 4323 row on
+#      2026-08-19 18:23, a 28% run-to-run drift; re-time it solo)
 #
 # ONE TPU process at a time; every step is its own process so a wedge
 # loses one step.  fp64 work stays OFF this queue: dd is relay-rejected
@@ -68,18 +70,18 @@ run() {
     echo "=== [$STEP] rc=$? $(date '+%T')" | tee -a $LOG
 }
 
-# 1: bench (live line + champion pre-warm for the driver's capture)
+# [0] bench (live line + champion pre-warm for the driver's capture)
 run 3000 python bench.py
 
-# 2: consumer probe (relayout-scoring confirmation, VERDICT r3 #7 close)
+# [1] consumer probe (relayout-scoring confirmation, VERDICT r3 #7 close)
 run 1500 python scripts/tpu_consumer_probe.py
 
-# 3: proto3 reevaluate + retire (self-limits via QUEUE_DEADLINE)
+# [2] proto3 reevaluate + retire (self-limits via QUEUE_DEADLINE)
 QUEUE_DEADLINE=$DEADLINE run 6000 bash scripts/r3_reevaluate.sh
 
-# 4: leftover window: weakest headline rows
+# leftover window: weakest headline rows (div10 first)
 while [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ]; do
-    for cls in div4 grad4 div10 grad10 matvec face mass; do
+    for cls in div10 div4 grad4 grad10 matvec face mass; do
         [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ] || break
         if ! timeout 240 python -c "import jax; jax.devices()" \
                 >/dev/null 2>&1; then

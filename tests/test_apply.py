@@ -577,3 +577,56 @@ def test_plan_prefers_layout_free_row_when_relayout_dominates(tmp_path):
     _close(fn2(u, M), user(u, M))
     (_infos, _e, program), = fn2.plans
     assert program.descriptor.arg_layouts == ()   # layout-free row won
+
+
+def test_relayout_cost_model_accounting():
+    """Pins _per_call_relayout_seconds byte accounting (code-review r4s5):
+    rowcat stretches SizeParam axes by rc, lane_pack shrinks them by g,
+    pre_layouts/lane_pack charge the retile rate, out_layout uses the real
+    output itemsize, dd pair-splitting charges the stream rate."""
+    from feinsum_tpu.apply import (
+        _RETILE_GBPS,
+        _STREAM_GBPS,
+        _per_call_relayout_seconds,
+    )
+
+    E, d = 4096, 16
+
+    def secs(e, **desc_kw):
+        from feinsum_tpu.codegen.descriptor import ScheduleDescriptor
+        prog = f.generate_program(e).copy(
+            descriptor=ScheduleDescriptor(backend="xla", **desc_kw))
+        from feinsum_tpu.einsum import SizeParam
+        lengths = {ix: (E if isinstance(ln, SizeParam) else int(ln))
+                   for ix, ln in e.index_to_dim_length.items()}
+        return _per_call_relayout_seconds(prog, lengths)
+
+    e32 = f.einsum("ej,ij->ei", f.array("u", ("E", d), "float32"),
+                   f.array("D", (d, d), "float32"))
+    u_bytes = E * d * 4
+
+    # identity contract: free
+    assert secs(e32) == 0.0
+    # transposing the streamed operand: 2x bytes at the retile rate
+    got = secs(e32, arg_layouts=(("u", (1, 0)),))
+    assert np.isclose(got, 2 * u_bytes / (_RETILE_GBPS * 1e9))
+    # pre_layouts regroup charges the same operand at the retile rate
+    assert np.isclose(secs(e32, pre_layouts=(("u", ((0,), (1,))),)), got)
+    # lane_pack g: the model sizes by the REWRITTEN program's dims with
+    # the long axis at E/g (real champions carry a g*d lane dim so the
+    # physical bytes match the original; this synthetic program keeps
+    # d, so the charge is bytes/g)
+    assert np.isclose(secs(e32, lane_pack=4, lane_pack_args=("u",)),
+                      got / 4)
+    # rowcat rc=2: stacked operand holds 2E rows at the STREAM rate
+    got_rc = secs(e32, rowcat=2, rowcat_args=(("u", ("u0", "u1")),))
+    assert np.isclose(got_rc, 2 * 2 * u_bytes / (_STREAM_GBPS * 1e9))
+    # out_layout on an f64 einsum: output bytes use itemsize 8
+    e64 = f.einsum("ej,ij->ei", f.array("u", ("E", d), "float64"),
+                   f.array("D", (d, d), "float64"))
+    got_out = secs(e64, out_layout=(1, 0))
+    assert np.isclose(got_out, 2 * E * d * 8 / (_RETILE_GBPS * 1e9))
+    # dd pairs: every f64 operand split at the STREAM rate
+    got_dd = secs(e64, dd_pairs=True)
+    assert np.isclose(got_dd,
+                      2 * (E * d + d * d) * 8 / (_STREAM_GBPS * 1e9))
