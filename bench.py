@@ -74,6 +74,33 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+# The driver keeps only the TAIL of the merged stdout+stderr capture and
+# parses the last JSON line out of it (BENCH_r04: the headline printed at
+# 18:23, then ~20 min of evidence-section stderr pushed it out of the tail
+# -> parsed null, the round's third straight lost score).  Contract: the
+# headline JSON must be the LAST thing this process ever prints.  Every
+# emission records itself here; main() re-prints it in a finally (covers
+# section noise, exceptions, deadline sys.exit) and a SIGTERM handler
+# re-prints it before dying (r3 lost its round to rc=124 from `timeout`).
+_last_emitted: dict | None = None
+
+
+def emit(line: dict) -> None:
+    global _last_emitted
+    _last_emitted = dict(line)
+    print(json.dumps(line), flush=True)
+
+
+def _reemit_final_line() -> None:
+    if _last_emitted is not None:
+        print(json.dumps(_last_emitted), flush=True)
+
+
+def _on_sigterm(_sig, _frm):
+    _reemit_final_line()
+    os._exit(124)
+
+
 # {{{ einsum builders (shapes = the reference's archived rows, BASELINE.md)
 
 def make_div(ndof, dtype="float32"):
@@ -619,11 +646,25 @@ def _emit_stale_line(reason: str) -> bool:
     log(f"{reason}; emitting the LAST GREEN result (captured"
         f" {cached['captured_at']}), marked stale_cache=true."
         " This is NOT a live measurement.")
-    print(json.dumps(line), flush=True)
+    emit(line)
     return True
 
 
 def main() -> None:
+    import signal
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except (ValueError, OSError):  # non-main thread / exotic platform
+        pass
+    try:
+        _main_inner()
+    finally:
+        # the headline (or stale) JSON must be the LAST line of the merged
+        # capture — idempotent under the driver's last-line-wins parse
+        _reemit_final_line()
+
+
+def _main_inner() -> None:
     _probe_backend()
     device_key = get_device_key()
     log(f"benchmarking on {device_key}, E={E_BENCH}")
@@ -647,7 +688,7 @@ def main() -> None:
                 f"headline truncated at {len(ours)}/{len(suite())} rows"):
             return
         line["partial"] = f"{len(ours)}/{len(suite())}"
-    print(json.dumps(line), flush=True)
+    emit(line)
     # only a COMPLETE run may become the stale-outage fallback: a partial
     # run (mid-run relay wedge skips rows) or all-failed run (geomean 0)
     # must not clobber a genuine green capture
