@@ -274,15 +274,11 @@ def candidate_transforms(name, einsum):
         log(f"{name}: ARCHIVE ERROR {type(ex).__name__}: {str(ex)[:200]}"
             f" — falling back to built-in default schedule")
         qs = []
-    qs.sort(key=lambda q: q.total_giga_op_rate, reverse=True)
-    # dedup re-timed copies of one config: four identical champions would
-    # occupy every fallback slot and defeat the ladder
-    seen, distinct = set(), []
-    for q in qs:
-        key = (q.transform_id, q.transform_params)
-        if key not in seen:
-            seen.add(key)
-            distinct.append(q)
+    # collapse re-timed copies of one config to its lower-median row
+    # (VERDICT r4 weak #3: a drifty config's lucky sample must not keep
+    # leading the ladder — div10 drifted 28% run-to-run live); also keeps
+    # identical champions from occupying every fallback slot
+    distinct = sql_utils.aggregate_reconfirmations(qs)
     def archive_entry(rank, q):
         # timing-protocol provenance (VERDICT r2 weak #2): rows measured
         # under a retired instrument are visibly marked
@@ -582,9 +578,16 @@ def _probe_backend(attempts: int = 8, probe_timeout: int = 150) -> None:
     # while another feinsum_tpu process is mid-compile is the wedge class
     # tpu_lock exists to prevent (a held lock just delays the probe; the
     # subprocess timeout still bounds it)
+    # the lock import falls back to a bare probe when feinsum_tpu is not
+    # importable (observed r4: a VM reboot wiped site-packages; an
+    # ImportError here would masquerade as relay-down and emit the stale
+    # line against a healthy relay — advisor r4)
     probe_code = os.environ.get(
         "BENCH_PROBE_CODE",
-        "from feinsum_tpu.tpu_lock import device_lock\n"
+        "try:\n"
+        "    from feinsum_tpu.tpu_lock import device_lock\n"
+        "except Exception:\n"
+        "    from contextlib import nullcontext as device_lock\n"
         "with device_lock():\n"
         "    import jax; jax.devices()")
     sleep_s = float(os.environ.get("BENCH_PROBE_SLEEP", "120"))

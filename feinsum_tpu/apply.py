@@ -302,13 +302,10 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                                  err_if_no_results=False)
         except NoFactInDatabaseError:
             qs = []
-        qs.sort(key=lambda q: q.total_giga_op_rate, reverse=True)
-        seen, candidates = set(), []
-        for q in qs:
-            key = (q.transform_id, q.transform_params)
-            if key not in seen:
-                seen.add(key)
-                candidates.append(q)
+        # one row per distinct config, at its lower-median re-timed rate
+        # (drifty champions rank by what they reproduce, not their
+        # luckiest sample — VERDICT r4 weak #3)
+        candidates = sql_utils.aggregate_reconfirmations(qs)
         # rank candidates by estimated PER-CALL cost: archived kernel time
         # at this call's sizes PLUS the in-graph relayout its storage
         # contract costs here (bench pre-applies layouts outside the timed
@@ -325,7 +322,12 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                        default=max(lengths.values()))
         gops = None
         scored = []
-        for q in candidates[:6]:
+        # score EVERY distinct candidate: the estimate is host-only (one
+        # rewrite apply + closed-form byte model per row, no compiles).
+        # Rescoring only a top-k by raw kernel rate silently loses the
+        # whole point in a heavily tuned class — a layout-free xla_v0 row
+        # ranks far below dozens of pallas configs by rate (advisor r4).
+        for q in candidates:
             est = float("inf")
             try:
                 rate = float(q.total_giga_op_rate)

@@ -107,10 +107,14 @@ class BatchedEinsum:
     def __post_init__(self) -> None:
         if not all(isinstance(ix, str) and _SINGLE_LETTER.match(ix)
                    for ix in self.out_idx_set):
-            raise AssertionError("Obtained invalid output index (RHS of ->).")
+            raise AssertionError(
+                "output subscripts (right of '->') must be single"
+                " letters")
         if not all(isinstance(ix, str) and _SINGLE_LETTER.match(ix)
                    for idx_set in self.in_idx_sets for ix in idx_set):
-            raise AssertionError("Obtained invalid input index (LHS of ->).")
+            raise AssertionError(
+                "input subscripts (left of '->') must be single"
+                " letters")
         all_in = reduce(frozenset.union,
                         (frozenset(s) for s in self.in_idx_sets), frozenset())
         if not frozenset(self.out_idx_set) <= all_in:

@@ -69,8 +69,8 @@ def batched_einsum(subscripts: str, args: Sequence) -> BatchedEinsum:
     ``b x n`` nested sequence of :class:`Array` operands."""
     if "->" not in subscripts:
         raise ValueError(
-            "Missing -> in 'subscripts'. If the expected behavior is implicit"
-            " mode, feinsum_tpu does not support it.")
+            "subscripts must contain an explicit '->' output spec;"
+            " numpy's implicit mode is unsupported here")
     in_spec, out_spec = subscripts.split("->")
     out_idx_set = _parse_subscript(out_spec, is_output=True)
     in_idx_sets = tuple(_parse_subscript(s, is_output=False)

@@ -176,10 +176,25 @@ def retire_rows_where(cond: str, binds, *, reason: str,
             CREATE TABLE IF NOT EXISTS {RETIRED_TABLENAME} AS
             SELECT *, '' AS retire_reason, '' AS retired_at
             FROM {TIMINGS_TABLENAME} WHERE 0""")
+        # insert by EXPLICIT column list (advisor r4): a stash created
+        # against an older timings schema breaks `INSERT ... SELECT *`
+        # with a column-count mismatch once the timings table grows —
+        # ALTER the stash up to match instead
+        cols = [r[1] for r in conn.execute(
+            f"PRAGMA table_info({TIMINGS_TABLENAME})")]
+        stash_cols = [r[1] for r in conn.execute(
+            f"PRAGMA table_info({RETIRED_TABLENAME})")]
+        for c in cols:
+            if c not in stash_cols:
+                conn.execute(
+                    f"ALTER TABLE {RETIRED_TABLENAME} ADD COLUMN {c}")
+        collist = ", ".join(cols)
         cur = conn.execute(
-            f"INSERT INTO {RETIRED_TABLENAME} "
-            f"SELECT *, ?, datetime('now') FROM {TIMINGS_TABLENAME}"
-            f" WHERE {cond}", [reason] + list(binds))
+            f"INSERT INTO {RETIRED_TABLENAME}"
+            f" ({collist}, retire_reason, retired_at)"
+            f" SELECT {collist}, ?, datetime('now')"
+            f" FROM {TIMINGS_TABLENAME} WHERE {cond}",
+            [reason] + list(binds))
         n = cur.rowcount
         conn.execute(f"DELETE FROM {TIMINGS_TABLENAME} WHERE {cond}",
                      list(binds))
@@ -228,18 +243,55 @@ def query(einsum: BatchedEinsum, device=None, *,
         for tid, tparams, rt, cver, ginfo in rows]
 
 
+def aggregate_reconfirmations(qs: list) -> list:
+    """Collapse re-timed copies of each distinct (transform_id, params)
+    config into ONE representative row: the LOWER-MEDIAN-rate row of the
+    config's re-times (proto3-tagged rows only, when any exist — mixing
+    instruments would average apples and oranges).  Returned rows stay
+    genuine archive rows (provenance intact), sorted fastest-first.
+
+    Motivation (VERDICT r4 weak #3): champion selection by single fastest
+    row lets a drifty config keep winning on its lucky sample — live
+    2026-08-19: div10's parallel_grid+mfold row claimed 4323 GOp/s but
+    re-measured 3112 (28% drift).  Re-confirmations now pull its effective
+    rate down to what it actually reproduces; a config with one lucky row
+    and one honest slow row ranks by the slow one (pessimistic lower
+    median), so a consistently-reproducing runner-up can overtake it."""
+    groups: dict = {}
+    order: list = []
+    for q in qs:
+        key = (q.transform_id, q.transform_params)
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(q)
+    out = []
+    for key in order:
+        rows = groups[key]
+        proto3 = [q for q in rows
+                  if "timing-proto3" in (q.compiler_version or "")]
+        rows = proto3 or rows
+        rows = sorted(rows, key=lambda q: q.total_giga_op_rate)
+        out.append(rows[(len(rows) - 1) // 2])
+    out.sort(key=lambda q: q.total_giga_op_rate, reverse=True)
+    return out
+
+
 def retrieve(einsum: BatchedEinsum, device=None, *,
              db_path: Optional[str] = None,
              filter_in: Optional[Callable] = None):
     """The best archived transform for *einsum*, mapped onto *einsum*'s own
     names, ready to apply to its program (reference sql_utils.py:247-294:
-    max summed GFLOP-rate, optional filter)."""
+    max summed GFLOP-rate, optional filter).  Re-timed copies of a config
+    count as re-confirmations: ranking uses the config's lower-median rate
+    (see :func:`aggregate_reconfirmations`), not its luckiest sample."""
     qs = query(einsum, device, db_path=db_path)
     if filter_in is not None:
         qs = [q for q in qs if filter_in(q)]
     if not qs:
         raise NoFactInDatabaseError("all facts rejected by filter_in")
-    best = max(qs, key=lambda q: q.total_giga_op_rate)
+    best = max(aggregate_reconfirmations(qs),
+               key=lambda q: q.total_giga_op_rate)
     return best.transform
 
 

@@ -17,6 +17,13 @@ device (``jax_platforms`` unset, or naming tpu/axon); CPU-pinned test and
 analysis processes skip it entirely without touching the backend (checking
 ``jax.devices()`` would itself attach to the TPU, which is exactly the
 collision this module exists to prevent).
+
+Backend ATTACH is covered too: the first acquisition in a process performs
+the JAX backend init (``jax.devices()``) while already holding the lock.
+Attaching during another process's in-flight compile froze that compile
+for 1400 s (observed r4 s4) — the lock around compile+measure alone could
+not prevent it because init used to happen lazily at the first traced op,
+possibly before the funnel entered its locked region.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ from __future__ import annotations
 import fcntl
 import logging
 import os
+import threading
 import time
 from contextlib import contextmanager
 
@@ -31,8 +39,12 @@ logger = logging.getLogger(__name__)
 
 LOCK_PATH = "/tmp/feinsum_tpu.device.lock"
 
-_lock_file = None
-_depth = 0
+# per-lock-path re-entrancy state; _guard protects the dict and depth
+# mutations (nested/threaded use with DIFFERENT paths takes real separate
+# locks instead of silently no-opping — advisor r4)
+_state: dict = {}
+_guard = threading.RLock()
+_attached = False
 
 
 def _needs_lock() -> bool:
@@ -49,41 +61,67 @@ def _needs_lock() -> bool:
                for p in str(platforms).split(","))
 
 
+def _ensure_attached() -> None:
+    """Perform the (possibly remote, possibly minutes-long) JAX backend
+    init now, while the caller holds the device lock.  Idempotent; failure
+    propagates to the caller exactly as the first traced op would have."""
+    global _attached
+    if _attached:
+        return
+    import jax
+    jax.devices()
+    _attached = True
+
+
 @contextmanager
 def device_lock(force: bool = False, poll_seconds: float = 2.0,
-                lock_path: str = LOCK_PATH):
+                lock_path: str = LOCK_PATH, attach: bool = True):
     """Hold the cross-process device lock around a compile-and-measure
-    region.  Re-entrant within a process; blocks (with a periodic log
-    line) while another process holds it; no-op when the ambient platform
-    is CPU-pinned or ``FEINSUM_TPU_LOCK=0``.  *force* engages the lock
-    regardless of platform (tests)."""
-    global _lock_file, _depth
-    if not force and not _needs_lock():
+    region.  Re-entrant within a process (per *lock_path*); blocks (with a
+    periodic log line) while another process holds it; no-op when the
+    ambient platform is CPU-pinned or ``FEINSUM_TPU_LOCK=0``.  *force*
+    engages the lock regardless of platform (tests; also skips the backend
+    attach unless the platform genuinely needs the lock).  On the first
+    acquisition in a process the JAX backend is attached UNDER the lock
+    (*attach*\\=False opts out — e.g. the probe that must bound attach
+    time itself)."""
+    needs = _needs_lock()
+    if not force and not needs:
         yield
         return
-    if _depth == 0:
-        f = open(lock_path, "a+")
-        t0 = time.monotonic()
-        warned = 0.0
-        while True:
-            try:
-                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                break
-            except OSError:
-                waited = time.monotonic() - t0
-                if waited >= warned + 60.0:
-                    warned = waited
-                    logger.warning(
-                        "waiting %.0f s for %s (another feinsum_tpu"
-                        " process is using the device)", waited, lock_path)
-                time.sleep(poll_seconds)
-        _lock_file = f
-    _depth += 1
-    try:
-        yield
-    finally:
-        _depth -= 1
-        if _depth == 0 and _lock_file is not None:
-            fcntl.flock(_lock_file, fcntl.LOCK_UN)
-            _lock_file.close()
-            _lock_file = None
+    with _guard:   # dict creation only — never held across the region
+        st = _state.setdefault(
+            lock_path, {"depth": 0, "file": None,
+                        "tlock": threading.RLock()})
+    # per-path re-entrant thread lock: same-thread nesting passes, other
+    # threads serialize on THIS path without blocking different paths
+    with st["tlock"]:
+        if st["depth"] == 0:
+            f = open(lock_path, "a+")
+            t0 = time.monotonic()
+            warned = 0.0
+            while True:
+                try:
+                    fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    waited = time.monotonic() - t0
+                    if waited >= warned + 60.0:
+                        warned = waited
+                        logger.warning(
+                            "waiting %.0f s for %s (another feinsum_tpu"
+                            " process is using the device)",
+                            waited, lock_path)
+                    time.sleep(poll_seconds)
+            st["file"] = f
+        st["depth"] += 1
+        try:
+            if attach and needs and lock_path == LOCK_PATH:
+                _ensure_attached()
+            yield
+        finally:
+            st["depth"] -= 1
+            if st["depth"] == 0 and st["file"] is not None:
+                fcntl.flock(st["file"], fcntl.LOCK_UN)
+                st["file"].close()
+                st["file"] = None

@@ -420,6 +420,8 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
     # Mosaic crash still converges: the re-queued point just fails again.
     deferred_500: list = []
     sick_streak = 0
+    n_deferrals = 0          # lifetime deferral events (bounds a sick run)
+    sick_sleep_total = 0.0   # cumulative cooldown wall (bounds it too)
 
     while True:
         if stop_after is not None and time.time() - t_start > stop_after:
@@ -479,19 +481,36 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
                 if "HTTP 500" not in str(err):
                     raise
                 # all attempts hit 500: defer (don't score inf), cool
-                # down harder the longer the streak, never past budget
+                # down harder the longer the streak, never past budget.
+                # A deferral is NOT a tested point (advisor r4): it used
+                # to consume test_limit at deferral AND again when
+                # re-queued+measured, and skew the summary's measured
+                # count — un-count it here.
+                n_tested -= 1
+                n_deferrals += 1
                 deferred_500.append(params)
                 sick_streak += 1
                 cool = min(120 * sick_streak, 300)
                 if stop_after is not None:
                     cool = min(cool, max(
                         0, stop_after - (time.time() - t_start) - 60))
+                # even without stop_after, a fully sick pool must not
+                # sleep for hours: cap cumulative cooldown wall at 900 s
+                cool = min(cool, max(0.0, 900.0 - sick_sleep_total))
                 logger.warning(
                     "point %s exhausted its 500-retries (sick streak %d);"
                     " deferring it and cooling down %d s",
                     params, sick_streak, int(cool))
                 if cool > 0:
+                    sick_sleep_total += cool
                     time.sleep(cool)
+                if n_deferrals >= 16 and not any(
+                        np.isfinite(r[0]) for r in results):
+                    logger.error(
+                        "autotune: %d straight deferrals with nothing"
+                        " measured — the helper pool looks persistently"
+                        " sick; stopping this run", n_deferrals)
+                    break
                 continue
         except InvalidParameterError as err:
             logger.info("invalid point %s: %s", params, err)
@@ -545,9 +564,10 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
                        len(deferred_500))
     n_failed = n_invalid + n_mismatch + n_unexpected
     summary = (f"{n_tested} points tested: "
-               f"{n_tested - n_failed - len(deferred_500)} measured,"
+               f"{n_tested - n_failed} measured,"
                f" {n_invalid} invalid-parameter, {n_mismatch} validation"
-               f" mismatches, {n_unexpected} unexpected failures")
+               f" mismatches, {n_unexpected} unexpected failures,"
+               f" {len(deferred_500)} still deferred")
     if n_tested and n_unexpected > max(2, n_tested // 4):
         logger.error("autotune: %s — the unexpected-failure share points at"
                      " an emitter/backend regression, not bad configs",

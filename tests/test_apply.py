@@ -579,6 +579,55 @@ def test_plan_prefers_layout_free_row_when_relayout_dominates(tmp_path):
     assert program.descriptor.arg_layouts == ()   # layout-free row won
 
 
+def test_plan_rescores_below_rate_rank_6(tmp_path):
+    """Advisor r4 (medium): rescoring only the top-6 rate-ordered rows let
+    the relayout regression persist in heavily tuned classes where the
+    layout-free row sits below rank 6 by raw kernel rate.  Plant 8
+    transposing rows (distinct params, all faster kernels) above one
+    layout-free row at rate-rank 9: scoring must still reach and pick it."""
+    from feinsum_tpu import sql_utils
+
+    mod = tmp_path / "lay9_v0.py"
+    mod.write_text(
+        "from feinsum_tpu.codegen.descriptor import ScheduleDescriptor\n"
+        "from feinsum_tpu.tuning import IntParameter, transform_param\n"
+        "\n"
+        "@transform_param('k', lambda e: IntParameter(0, 64))\n"
+        "def transform(program, k):\n"
+        "    e = program.einsum\n"
+        "    layouts = (((e.args[0][0].name, (1, 0)),) if k else ())\n"
+        "    return program.copy(descriptor=ScheduleDescriptor(\n"
+        "        backend='xla', arg_layouts=layouts))\n")
+
+    db = str(tmp_path / "scratch9.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                 f.array("D", (20, 20), "float32"))
+    dev = f.FakeDevice("TPU v5 lite")
+    for k in range(1, 9):   # 8 distinct transposing rows, rates 1x..1.8x
+        sql_utils.record_facts(e, transform_id=str(mod),
+                               transform_params={"k": k},
+                               runtime_in_sec=1e-6 * (1 + 0.1 * k),
+                               device=dev, db_path=db,
+                               long_dim_length=2048)
+    sql_utils.record_facts(e, transform_id=str(mod),
+                           transform_params={"k": 0},   # layout-free, slow
+                           runtime_in_sec=3e-6, device=dev, db_path=db,
+                           long_dim_length=2048)
+
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.random((2048, 20), np.float32))
+    M = jnp.asarray(rng.random((20, 20), np.float32))
+
+    def user(dofs, op):
+        return jnp.einsum("nq,dq->nd", dofs, op)
+
+    fn2 = f.compile_fn_with_archive(user, [u, M], db_path=db, device=dev,
+                                    long_dim_length=500)
+    _close(fn2(u, M), user(u, M))
+    (_infos, _e, program), = fn2.plans
+    assert program.descriptor.arg_layouts == ()   # rank-9 row still won
+
+
 def test_relayout_cost_model_accounting():
     """Pins _per_call_relayout_seconds byte accounting (code-review r4s5):
     rowcat stretches SizeParam axes by rc, lane_pack shrinks them by g,

@@ -248,12 +248,71 @@ def test_autotune_defers_500_exhausted_points(tmp_path, monkeypatch):
              cost_model=False, seed_configs=goods,
              timeit_kwargs=dict(min_rounds=1, min_seconds=0.01,
                                 validation_long_dim_length=512))
-    # point A: 3 failed attempts; point B: 1 success (re-queues A);
-    # point A again: 1 success
-    assert calls["n"] == 5, f"expected 5 timeit calls, saw {calls['n']}"
+    # point A: 3 failed attempts (deferred, does NOT consume test_limit —
+    # advisor r4); point B: 1 success (re-queues A); point A again: 1
+    # success; the freed budget then measures further points, so the
+    # exact call count is no longer pinned — the contract is that A was
+    # re-measured after the pool healed and both configs hit the DB
+    assert calls["n"] >= 5, f"expected >=5 timeit calls, saw {calls['n']}"
     qs = sql_utils.query(e, f.FakeDevice("TPU v5 lite"),
                          db_path=db, err_if_no_results=False)
     assert len(qs) >= 2, "the deferred point was never re-measured"
+    assert len({q.transform_params for q in qs}) >= 2, \
+        "expected both seed configs measured"
+
+
+def test_drifty_champion_ranks_by_reconfirmed_median(tmp_path):
+    """VERDICT r4 weak #3 (live div10: a config claimed 4323 GOp/s, then
+    re-measured 3112 = 28% drift, yet kept winning retrieve() on its lucky
+    row).  With re-confirmations aggregated at the lower median, a config
+    whose re-time is slow ranks by the slow sample — a consistently-
+    reproducing runner-up overtakes it."""
+    db = str(tmp_path / "drift.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 16), "float32"),
+                 f.array("D", (16, 16), "float32"))
+    dev = f.FakeDevice("TPU v5 lite")
+    # config A: lucky 1.0e-6 s + honest re-time 2.0e-6 s (drifty)
+    for rt in (1.0e-6, 2.0e-6):
+        sql_utils.record_facts(e, transform_id="mass_v0",
+                               transform_params={"block_i": 8,
+                                                 "vmem_idx": 0},
+                               runtime_in_sec=rt, device=dev, db_path=db,
+                               long_dim_length=2048)
+    # config B: single consistent 1.5e-6 s row
+    sql_utils.record_facts(e, transform_id="mass_v0",
+                           transform_params={"block_i": 16, "vmem_idx": 0},
+                           runtime_in_sec=1.5e-6, device=dev, db_path=db,
+                           long_dim_length=2048)
+    qs = sql_utils.query(e, dev, db_path=db)
+    agg = sql_utils.aggregate_reconfirmations(qs)
+    assert len(agg) == 2
+    best = agg[0]
+    assert dict(best.transform_params)["block_i"] == 16, \
+        "the drifty config's lucky sample still leads"
+    # A's representative is its honest (slow) re-time, not the lucky row
+    a_row, = [q for q in agg
+              if dict(q.transform_params)["block_i"] == 8]
+    assert np.isclose(a_row.runtime_in_sec, 2.0e-6)
+
+
+def test_aggregate_prefers_proto3_rows():
+    """Rows measured under a retired timing instrument must not mix into
+    a config's median once proto3 re-times exist."""
+    from feinsum_tpu.sql_utils import QueryInfo, aggregate_reconfirmations
+
+    def mk(rt, cver):
+        return QueryInfo(transform_id="t", transform_params=(("k", "1"),),
+                         runtime_in_sec=rt, compiler_version=cver,
+                         giga_op_info_json='{"float32": 1.0}',
+                         device_name="d", _einsum=None)
+
+    rows = [mk(1.0e-6, "jax-x"),                      # pre-proto3, lucky
+            mk(4.0e-6, "jax-x-timing-proto3"),
+            mk(5.0e-6, "jax-x-timing-proto3"),
+            mk(6.0e-6, "jax-x-timing-proto3")]
+    agg = aggregate_reconfirmations(rows)
+    assert len(agg) == 1
+    assert np.isclose(agg[0].runtime_in_sec, 5.0e-6)  # proto3 median only
 
 
 def test_migrate_from_reference_v6(tmp_path):
