@@ -385,10 +385,14 @@ def log_ceiling_accounting(name, einsum, arrays, outs, rate, frac,
 
 
 def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH,
-                accounting=False):
+                accounting=False, prefer_dma_inclusive_span=False):
     """(rate GOp/s, fraction of roofline) for one suite row, archive-first
-    with fallback to runner-up facts / the default schedule."""
-    def attempt(transform):
+    with fallback to runner-up facts / the default schedule.
+
+    *prefer_dma_inclusive_span* (the TCCG section): when the winning
+    plain-HLO candidate's span clamps at the physics floor, re-route to a
+    Pallas-backend runner-up whose custom-call span includes its DMA."""
+    def attempt(transform, info=None):
         f.validate_batched_einsum_transform(
             einsum, transform, long_dim_length=2000)
         program = transform(f.generate_program(einsum))
@@ -396,10 +400,20 @@ def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH,
             program,
             generate_input_arrays(einsum, long_dim_length=long_dim_length))
         fn = f.build_executable(program, long_dim_length=long_dim_length)
-        return timeit_on_device(fn, arrays), arrays, fn
+        return timeit_on_device(fn, arrays, info=info), arrays, fn
 
+    def is_pallas(transform):
+        try:
+            prg = transform(f.generate_program(einsum))
+            return (prg.descriptor.backend or "").lower() == "pallas"
+        except Exception:  # noqa: BLE001
+            return False
+
+    candidates = list(candidate_transforms(name, einsum))
     dt = arrays = fn = last_ex = None
-    for label, transform in candidate_transforms(name, einsum):
+    winner_idx = None
+    tinfo: dict = {}
+    for idx, (label, transform) in enumerate(candidates):
         if past_deadline():
             if last_ex is None:
                 last_ex = RuntimeError(
@@ -408,7 +422,8 @@ def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH,
                 f" this row")
             break
         try:
-            dt, arrays, fn = attempt(transform)
+            dt, arrays, fn = attempt(transform, info=tinfo)
+            winner_idx = idx
             log(f"{name}: measured via {label}")
             break
         except Exception as ex:  # noqa: BLE001
@@ -421,7 +436,8 @@ def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH,
                     f" retrying once after cooldown")
                 time.sleep(30)
                 try:
-                    dt, arrays, fn = attempt(transform)
+                    dt, arrays, fn = attempt(transform, info=tinfo)
+                    winner_idx = idx
                     break
                 except Exception as ex2:  # noqa: BLE001
                     last_ex = ex2
@@ -430,6 +446,33 @@ def measure_row(name, einsum, device_key, *, long_dim_length=E_BENCH,
                 f" trying next")
     if dt is None:
         raise last_ex
+    if (prefer_dma_inclusive_span and tinfo.get("clamped")
+            and not past_deadline(120.0)):
+        # the winner's plain-HLO span under-ran the physics floor (async
+        # DMA excluded) and was clamped — the roofline fraction would
+        # saturate at 100% exactly where the span is least trustworthy
+        # (VERDICT r4 weak #4).  Prefer a Pallas-backend runner-up: its
+        # custom-call span includes all DMA, so its (lower) number is
+        # real occupancy, not a bound.
+        for label, transform in candidates[winner_idx + 1:]:
+            if not is_pallas(transform):
+                continue
+            try:
+                info2: dict = {}
+                dt2, arrays2, fn2 = attempt(transform, info=info2)
+                if not info2.get("clamped"):
+                    log(f"{name}: plain-HLO span clamped at the floor;"
+                        f" reporting the DMA-inclusive Pallas route"
+                        f" {label} instead"
+                        f" ({1e6*dt:.0f}us clamped vs {1e6*dt2:.0f}us"
+                        f" honest span)")
+                    dt, arrays, fn = dt2, arrays2, fn2
+                break
+            except Exception as ex:  # noqa: BLE001
+                log(f"{name}: pallas re-route candidate '{label}' failed"
+                    f" ({type(ex).__name__}: {str(ex)[:120]}); keeping the"
+                    f" clamped number")
+                break
     gops = sum(evaluate_giga_op_map(
         get_giga_op_map(einsum), long_dim_length).values())
     rate = gops / dt
@@ -526,7 +569,8 @@ def run_tccg(device_key):
         einsum = f.get_tccg_benchmark(idx, dtype="float32")
         try:
             rate, frac = measure_row(f"tccg_{idx:02d}", einsum, device_key,
-                                     long_dim_length=100_000)
+                                     long_dim_length=100_000,
+                                     prefer_dma_inclusive_span=True)
         except Exception as ex:  # noqa: BLE001
             log(f"tccg_{idx:02d}: FAILED {type(ex).__name__}:"
                 f" {str(ex)[:200]}")

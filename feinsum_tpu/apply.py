@@ -27,10 +27,13 @@ directly (see doc/compiler_writer_tutorial.md).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Callable, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from .diagnostics import EinsumMatchError, NoFactInDatabaseError
 from .matching import (
@@ -112,6 +115,34 @@ def _per_call_relayout_seconds(program, idx_lengths):
     return secs
 
 
+def _floor_seconds(einsum, idx_lengths, device=None) -> float:
+    """Physics floor for one call at the given sizes: logical bytes of all
+    operands + outputs over the device's peak HBM bus (819 GB/s default).
+    Used to decide whether a modeled candidate time is close enough to
+    optimal that an on-device shootout cannot pay for itself."""
+    from .codegen.program import output_dtype
+    from .data.device_info import DEV_TO_PEAK_BW, get_device_key
+
+    bw = DEV_TO_PEAK_BW.get(get_device_key(device), 819.0)
+    total = 0
+    seen = set()
+    for row in einsum.args:
+        for arg, idx in zip(row, einsum.in_idx_sets):
+            if arg.name in seen:   # shared operands (batched R) DMA once
+                continue
+            seen.add(arg.name)
+            n = arg.dtype.itemsize
+            for l in idx:
+                n *= idx_lengths[l]
+            total += n
+    for r in range(einsum.b):
+        n = np.dtype(output_dtype(einsum, r)).itemsize
+        for l in einsum.out_idx_set:
+            n *= idx_lengths[l]
+        total += n
+    return total / (bw * 1e9)
+
+
 def _backward_slice_eval(jaxpr, consts, args, targets, bindings=None):
     """Evaluate the jaxpr variables *targets* from *args* by interpreting
     only the backward slice of equations that feed them.  *bindings*
@@ -165,7 +196,7 @@ _PLAN_CACHE_MAX = 32
 
 
 def _plan_cache_key(closed, long_dim_length, device, db_path, arg_names,
-                    validate, spot_check):
+                    validate, spot_check, shootout=None):
     """Cache key for a traced fn, or None when caching would be unsound or
     too costly (a closure const that is a big on-device array would have to
     be fetched through the ~35 MB/s relay just to hash it)."""
@@ -193,7 +224,7 @@ def _plan_cache_key(closed, long_dim_length, device, db_path, arg_names,
         mtime = 0.0
     return (h.hexdigest(), long_dim_length, str(device), db_path,
             tuple(arg_names) if arg_names is not None else None,
-            validate, spot_check, mtime)
+            validate, spot_check, shootout, mtime)
 
 
 def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
@@ -202,10 +233,24 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                             long_dim_length: int = DEFAULT_LONG_DIM_LENGTH,
                             arg_names: Optional[Sequence] = None,
                             validate: bool = False,
-                            spot_check: bool = True) -> Callable:
+                            spot_check: bool = True,
+                            shootout: Optional[bool] = None) -> Callable:
     """Return a callable computing exactly what *fn* computes, with every
     einsum instruction executed through its best archived schedule (archive
     misses fall back to the opt_einsum XLA program).
+
+    *shootout* (default auto): when plan construction runs on a real
+    accelerator and the best candidate's MODELED per-call time sits well
+    above the physics floor at the call's sizes, the top candidates AND
+    the raw opt_einsum program are each built and timed once on device,
+    and the measured winner is served.  Motivation (live E=1M probes,
+    2026-08-19, twice): archived champions are timed with layouts
+    pre-applied, but the consumer path pays relayout per call — and when
+    the archive simply holds no fast layout-free row for a class, no
+    host-side model can know that the user's own XLA program is the
+    fastest option.  Measuring closes that gap mechanically.  Pass
+    ``shootout=False`` to always serve the first candidate that builds
+    (fastest plan construction), ``True`` to force the shootout.
 
     Traced scalar factors (``dt * rhs``, ``rhs / dt``) are re-applied at
     call time; non-grammar epilogues (``tanh(einsum)``, limiters, norm
@@ -241,7 +286,7 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
      (epi_out, frontier)) = _collect_instructions(
         fn, example_args, arg_names=arg_names, epilogue=True)
     cache_key = _plan_cache_key(closed, long_dim_length, device, db_path,
-                                arg_names, validate, spot_check)
+                                arg_names, validate, spot_check, shootout)
     if cache_key is not None and cache_key in _PLAN_CACHE:
         return _PLAN_CACHE[cache_key]
     infos = _insn_infos(out_sums, sources)
@@ -343,37 +388,106 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
                 pass           # unrankable: keep, at rate order, after
             scored.append((est, q.transform))
         scored.sort(key=lambda t: t[0])    # stable: inf ties keep rate order
-        for transform in [t for _est, t in scored[:3]] + [None]:
+
+        def build_runner(program):
+            """Executable at the call's sizes that pays the FULL per-call
+            cost: in-graph storage-contract relayout, the kernel, rowcat
+            slicing, out-layout unpack — what fn2 runs each call, and what
+            the shootout must therefore time."""
+            exe = build_executable(
+                program, index_to_length=program_lengths(
+                    program, einsum, lengths))
+            rc = getattr(program.descriptor, "rowcat", 1) or 1
+
+            def runner(arrays):
+                arrays = _apply_layouts(program, arrays)
+                results = exe(arrays)
+                if rc > 1:
+                    # rowcat champion: ONE concatenated output; slice rows
+                    cat = unpack_output(program, results[0],
+                                        (logical[0] * rc,) + logical[1:])
+                    return [cat[r * logical[0]:(r + 1) * logical[0]]
+                            for r in range(rc)]
+                return [unpack_output(program, res, logical)
+                        for res in results]
+            return runner
+
+        def try_build(transform):
+            if transform is not None:
+                if validate:
+                    validate_batched_einsum_transform(
+                        einsum, transform,
+                        long_dim_length=min(2048, max(lengths.values())))
+                elif spot_check:
+                    # default-path numeric spot-check: an archive row
+                    # recorded under an older emitter that now
+                    # builds-but-miscomputes must not be served silently.
+                    # Tiny length (validate rounds it up to the champion's
+                    # structural multiples), once per cached plan; a
+                    # mismatch drops to the runner-ups.
+                    validate_batched_einsum_transform(
+                        einsum, transform,
+                        long_dim_length=min(128, max(lengths.values())))
+                program = transform(generate_program(einsum))
+            else:
+                program = generate_program_with_opt_einsum_schedule(einsum)
+            return program, build_runner(program)
+
+        best_est = scored[0][0] if scored else float("inf")
+        run_shootout = shootout
+        if run_shootout is None:
+            # auto: only when measuring is possible AND the model says the
+            # best candidate sits well above the physics floor (a champion
+            # already near the floor cannot be meaningfully beaten, so the
+            # extra builds/launches would be pure cold-plan cost)
+            floor = _floor_seconds(einsum, lengths, device)
+            run_shootout = (jax.default_backend() not in ("cpu",)
+                            and best_est > 1.5 * floor)
+
+        if not run_shootout:
+            for transform in [t for _est, t in scored[:3]] + [None]:
+                try:
+                    program, runner = try_build(transform)
+                    return (tuple(row_infos), einsum, program, runner,
+                            logical)
+                except Exception:  # noqa: BLE001
+                    if transform is None:
+                        raise
+            raise AssertionError("unreachable")
+
+        # on-device shootout: top archived finalists + the raw opt_einsum
+        # program, each timed paying its full per-call cost
+        built = []
+        for transform in [t for _est, t in scored[:2]] + [None]:
             try:
-                if transform is not None:
-                    if validate:
-                        validate_batched_einsum_transform(
-                            einsum, transform,
-                            long_dim_length=min(2048,
-                                                max(lengths.values())))
-                    elif spot_check:
-                        # default-path numeric spot-check: an archive row
-                        # recorded under an older emitter that now
-                        # builds-but-miscomputes must not be served
-                        # silently.  Tiny length (validate rounds it up to
-                        # the champion's structural multiples), once per
-                        # cached plan; a mismatch drops to the runner-ups.
-                        validate_batched_einsum_transform(
-                            einsum, transform,
-                            long_dim_length=min(128,
-                                                max(lengths.values())))
-                    program = transform(generate_program(einsum))
-                else:
-                    program = generate_program_with_opt_einsum_schedule(
-                        einsum)
-                exe = build_executable(
-                    program, index_to_length=program_lengths(
-                        program, einsum, lengths))
-                return (tuple(row_infos), einsum, program, exe, logical)
+                built.append((transform,) + try_build(transform))
             except Exception:  # noqa: BLE001
-                if transform is None:
+                if transform is None and not built:
                     raise
-        raise AssertionError("unreachable")
+        if len(built) == 1:
+            _t, program, runner = built[0]
+            return (tuple(row_infos), einsum, program, runner, logical)
+        from .measure import _timeit_in_graph, generate_input_arrays
+        sample = generate_input_arrays(einsum, long_dim_length=long_val)
+        timed = []
+        for transform, program, runner in built:
+            try:
+                dt = _timeit_in_graph(runner, sample,
+                                      min_work_seconds=0.2)
+            except Exception as ex:  # noqa: BLE001
+                logger.info("shootout candidate failed to time (%s: %s)",
+                            type(ex).__name__, str(ex)[:120])
+                dt = float("inf")
+            timed.append((dt, transform, program, runner))
+            logger.info(
+                "shootout: %s measured %.0f us/call end-to-end",
+                getattr(program.descriptor, "backend", "?"), dt * 1e6)
+        timed.sort(key=lambda t: t[0])
+        if not np.isfinite(timed[0][0]):
+            _t, program, runner = built[-1]   # raw program as last resort
+        else:
+            _dt, _tr, program, runner = timed[0]
+        return (tuple(row_infos), einsum, program, runner, logical)
 
     # per-instruction assembly (read-only on the shared union-find)
     indiv = []
@@ -439,23 +553,14 @@ def compile_fn_with_archive(fn: Callable, example_args: Sequence, *,
             else:
                 name_to_val[s.name] = expr_vals[s.var]
         acc = {}
-        for row_infos, einsum, program, exe, logical in plans:
+        for row_infos, einsum, program, runner, logical in plans:
             arrays = {name: name_to_val[name]
                       for name in einsum.arg_to_shape}
-            arrays = _apply_layouts(program, arrays)
-            results = exe(arrays)
-            rc = getattr(program.descriptor, "rowcat", 1) or 1
-            if rc > 1:
-                # rowcat champion: ONE concatenated output; slice the rows
-                cat = unpack_output(program, results[0],
-                                    (logical[0] * rc,) + logical[1:])
-                results = [cat[r * logical[0]:(r + 1) * logical[0]]
-                           for r in range(rc)]
-                unpack = False
-            else:
-                unpack = True
-            for info, res in zip(row_infos, results):
-                out = unpack_output(program, res, logical) if unpack else res
+            # the runner pays the full per-call cost: in-graph layout
+            # application, the kernel, rowcat slicing, out-layout unpack —
+            # exactly what the plan shootout timed
+            results = runner(arrays)
+            for info, out in zip(row_infos, results):
                 if info.scale != 1.0:
                     out = out * np.asarray(info.scale, out.dtype)
                 pows = info.scale_var_pows or (1,) * len(info.scale_vars)

@@ -584,8 +584,16 @@ def _bytes_floor_seconds(fn, arrays: dict) -> Optional[float]:
 
 
 @_locked
-def timeit_on_device(fn, arrays: dict) -> float:
+def timeit_on_device(fn, arrays: dict, info: Optional[dict] = None) -> float:
     """Seconds per launch of *fn* on the current accelerator.
+
+    When *info* (a dict) is passed, protocol provenance is written into
+    it: ``info["clamped"]`` is True when the device-trace span came in
+    BELOW the physics floor and the floor was reported instead (the
+    plain-HLO async-DMA under-report case — a clamped number saturates
+    the roofline fraction and consumers like bench's TCCG section should
+    prefer a candidate whose span includes its DMA); ``info["span"]`` /
+    ``info["floor"]`` carry the raw seconds.
 
     PROTOCOL (2026-08-17, third iteration — see scripts/
     tpu_timing_integrity_probe.py for the evidence): the device-trace
@@ -614,10 +622,14 @@ def timeit_on_device(fn, arrays: dict) -> float:
     minutes); when no trace is available the differenced wall (clamped by
     the floor) and then the chained in-graph loop (documented 2x bias) are
     the fallbacks."""
+    if info is None:
+        info = {}
+    info.update(clamped=False, span=None, floor=None)
     dt = _timeit_wall_diff(fn, arrays)
     if dt is not None and dt > 0.1:
         return dt
     floor = _bytes_floor_seconds(fn, arrays) or 0.0
+    info["floor"] = floor
     tr = _timeit_device_trace(fn, arrays)
     if tr is not None and tr < 5e-4:
         # sub-500 us spans measure unstably (bench r2: tccg_05 varied
@@ -628,6 +640,7 @@ def timeit_on_device(fn, arrays: dict) -> float:
         tr2 = _timeit_device_trace(fn, arrays, n_iters=200)
         if tr2 is not None:
             tr = max(tr, tr2)
+    info["span"] = tr
     if tr is not None:
         if tr < floor:
             logger.info(
@@ -635,6 +648,7 @@ def timeit_on_device(fn, arrays: dict) -> float:
                 " floor (plain-HLO module with async DMA); reporting the"
                 " floor%s", tr * 1e6, floor * 1e6,
                 f" (differenced wall {dt * 1e6:.0f} us)" if dt else "")
+            info["clamped"] = True
             return max(floor, dt or 0.0)
         if dt is not None and abs(dt - tr) > 0.3 * tr:
             logger.info(

@@ -57,6 +57,10 @@ def main():
     args = [d[k] for k in ("Jx", "Jy", "Jz", "R", "ux", "uy", "uz",
                            "jac", "M")]
 
+    # cold plan includes the on-device shootout when the modeled champion
+    # sits far above the physics floor (r5: the div class holds no fast
+    # layout-free row, so only measuring can discover that the user's raw
+    # XLA program wins end-to-end)
     t0 = time.perf_counter()
     fn2 = f.compile_fn_with_archive(wave_rhs, args, long_dim_length=E)
     t_cold = time.perf_counter() - t0

@@ -628,6 +628,71 @@ def test_plan_rescores_below_rate_rank_6(tmp_path):
     assert program.descriptor.arg_layouts == ()   # rank-9 row still won
 
 
+def test_plan_shootout_picks_measured_winner(tmp_path, monkeypatch):
+    """Live consumer probes (2026-08-19, twice) showed no host-side model
+    can rank candidates the archive doesn't cover: the div class held no
+    fast layout-free row, so the scorer's best pick still ran 7x slower
+    than the user's raw XLA program.  With shootout=True the top finalists
+    AND the raw opt_einsum program are timed on device and the measured
+    winner is served."""
+    from feinsum_tpu import measure, sql_utils
+
+    mod = tmp_path / "slow_v0.py"
+    mod.write_text(
+        "from feinsum_tpu.codegen.descriptor import ScheduleDescriptor\n"
+        "from feinsum_tpu.tuning import BoolParameter, transform_param\n"
+        "\n"
+        "@transform_param('x', lambda e: BoolParameter())\n"
+        "def transform(program, x):\n"
+        "    e = program.einsum\n"
+        "    return program.copy(descriptor=ScheduleDescriptor(\n"
+        "        backend='xla',\n"
+        "        arg_layouts=((e.args[0][0].name, (0, 1)),)))\n")
+    db = str(tmp_path / "scratch.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 20), "float32"),
+                 f.array("D", (20, 20), "float32"))
+    dev = f.FakeDevice("TPU v5 lite")
+    sql_utils.record_facts(e, transform_id=str(mod),
+                           transform_params={"x": True},
+                           runtime_in_sec=1e-6, device=dev, db_path=db,
+                           long_dim_length=2048)
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random((2048, 20), np.float32))
+    M = jnp.asarray(rng.random((20, 20), np.float32))
+
+    def user(dofs, op):
+        return jnp.einsum("nq,dq->nd", dofs, op)
+
+    # fake on-device timer: the archived candidate "measures" slow, the
+    # raw opt_einsum program fast — the raw program must win the plan
+    times = iter([5e-3, 1e-4])
+    calls = []
+
+    def fake_time(runner, arrays, **kw):
+        calls.append(runner)
+        return next(times)
+
+    monkeypatch.setattr(measure, "_timeit_in_graph", fake_time)
+    fn2 = f.compile_fn_with_archive(user, [u, M], db_path=db, device=dev,
+                                    long_dim_length=500, shootout=True)
+    _close(fn2(u, M), user(u, M))
+    assert len(calls) == 2
+    (_infos, _e, program), = fn2.plans
+    # the raw opt_einsum program (empty arg_layouts) won on measured time
+    assert program.descriptor.arg_layouts == ()
+    # reversed measurement: the archived candidate (identity arg_layouts
+    # marker) wins instead
+    times2 = iter([1e-4, 5e-3])
+    monkeypatch.setattr(measure, "_timeit_in_graph",
+                        lambda r, a, **kw: next(times2))
+    fn3 = f.compile_fn_with_archive(user, [u, M], db_path=db, device=dev,
+                                    long_dim_length=501, shootout=True)
+    _close(fn3(u, M), user(u, M))
+    (_infos, _e, program3), = fn3.plans
+    assert program3.descriptor.arg_layouts != ()
+
+
 def test_relayout_cost_model_accounting():
     """Pins _per_call_relayout_seconds byte accounting (code-review r4s5):
     rowcat stretches SizeParam axes by rc, lane_pack shrinks them by g,

@@ -336,3 +336,30 @@ def test_protocol_in_graph_is_last_resort(monkeypatch):
     assert "in_graph" in p.calls
 
 # }}}
+
+
+def test_timeit_on_device_reports_clamp_info(monkeypatch):
+    """timeit_on_device's info channel: when the device-trace span under-
+    runs the physics floor (plain-HLO async-DMA under-report), the floor
+    is returned AND info['clamped'] is set — consumers (bench's TCCG
+    section) use it to prefer a DMA-inclusive-span candidate."""
+    from feinsum_tpu import measure
+
+    monkeypatch.setattr(measure, "_timeit_wall_diff", lambda fn, a: None)
+    monkeypatch.setattr(measure, "_timeit_device_trace",
+                        lambda fn, a, n_iters=30: 1e-5)
+    monkeypatch.setattr(measure, "_bytes_floor_seconds",
+                        lambda fn, a: 5e-5)
+    info = {}
+    dt = measure.timeit_on_device(lambda a: None, {}, info=info)
+    assert np.isclose(dt, 5e-5)
+    assert info["clamped"] is True
+    assert np.isclose(info["floor"], 5e-5)
+
+    # span above the floor: no clamp
+    monkeypatch.setattr(measure, "_timeit_device_trace",
+                        lambda fn, a, n_iters=30: 9e-5)
+    info = {}
+    dt = measure.timeit_on_device(lambda a: None, {}, info=info)
+    assert np.isclose(dt, 9e-5)
+    assert info["clamped"] is False
