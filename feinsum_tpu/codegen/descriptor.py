@@ -70,6 +70,23 @@ class ScheduleDescriptor:
     # a TC-as-GEMM rewrite) rather than by the caller's long_dim_length
     bind_lengths: tuple = ()
     grid_index: Optional[str] = None
+    # multi-axis grids only: per-grid-letter block sizes ((letter, blk), ...)
+    # — a grid cell covers *blk* consecutive indices of the letter instead of
+    # 1 (grid dim = length // blk; divisibility required).  Unlisted grid
+    # letters keep block 1.
+    grid_blocks: tuple = ()
+    # multi-axis grids only: an output letter (a blocked grid letter or a
+    # non-gridded one) routed to the kernel lowering as the MXU "row" (M)
+    # axis.  Without it every in-cell contraction lowers to VPU
+    # broadcast-sums — the root cause of tc_pallas_v0's 12-30x loss on the
+    # TCCG shapes (the lowering only emits dot_general when a row-axis piece
+    # exists).  None preserves v0 replay semantics exactly.
+    grid_m: Optional[str] = None
+    # stack unrolled output slices into the MXU M dimension before the dot
+    # (multi-axis grids; see kernel_lowering.lower_step mstack docs) — the
+    # analog of mfold for STREAMED factors: tccg_05's 72 per-b dots of M=72
+    # become one M=5184 dot, amortizing the M-tile fill.
+    mstack: bool = False
     block_long: int = 1024
     accum_dtype: Optional[str] = None
     compute_dtype: Optional[str] = None
@@ -180,6 +197,8 @@ class ScheduleDescriptor:
     def __post_init__(self):
         object.__setattr__(self, "arg_layouts",
                            _freeze_mapping(self.arg_layouts))
+        object.__setattr__(self, "grid_blocks",
+                           _freeze_mapping(self.grid_blocks))
         object.__setattr__(self, "pre_layouts",
                            _freeze_mapping(self.pre_layouts))
         object.__setattr__(self, "bind_lengths",

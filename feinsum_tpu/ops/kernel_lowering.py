@@ -120,7 +120,7 @@ def _product(pieces, target_axes):
 
 def lower_step(factor_reps, out_letters, e_letter, lengths, *,
                accum_dtype=None, big_order_pref=None,
-               dot_precision=None, mfold=False) -> Rep:
+               dot_precision=None, mfold=False, mstack=False) -> Rep:
     """Compute one schedule step from factor Reps; returns the result Rep.
 
     *mfold* packs an unrolled output axis carried only by a resident factor
@@ -299,6 +299,70 @@ def lower_step(factor_reps, out_letters, e_letter, lengths, *,
                 accum_dtype, dot_precision, jax, jnp)
             result = {(v,): big_core[v * padded: v * padded + nlen, :]
                       for v in range(R)}
+            return Rep(out_small, result_big, result)
+
+    # mstack fast path (multi-axis TC grids): stack the row-side (e,k)
+    # slices over ONE unrolled output letter along e, run a single
+    # M = R*elen_padded dot, and split the core back per slice — the
+    # streamed-factor analog of mfold.  E.g. tccg_05's 72 per-b dots of
+    # M=72 (5.9% MXU fill) become one M=5184 dot (10.5% fill, the N*K
+    # bound); tccg_02's per-a dots of M=296 lose 20% to the 296->384
+    # M-tile round-up that the stacked M=8*296 amortizes away.
+    if (mstack and e_present and e_in_out and k_ax is not None
+            and n_ax is not None and not sum_small and out_small):
+        aside_r = [r for r in reps
+                   if e_letter in r.big and k_ax in r.big]
+        b_r = [r for r in reps
+               if k_ax in r.big and e_letter not in r.big]
+        post_r = [r for r in reps if k_ax not in r.big]
+        has_n_side = any(n_ax in r.big for r in b_r)
+
+        def _stackable(l):
+            carriers = [r for r in reps if l in r.small]
+            return (carriers
+                    and all(r in aside_r for r in carriers))
+
+        cands = ([l for l in out_small if _stackable(l)]
+                 if (aside_r and has_n_side and not post_r) else [])
+        if cands:
+            r_ax = max(cands, key=lambda l: lengths[l])
+            R = lengths[r_ax]
+            elen = lengths[e_letter]
+            padded = elen + ((-elen) % 8)
+            a_axes = tuple(aside_r[0].big)
+            out_rest = tuple(l for l in out_small if l != r_ax)
+            r_pos = out_small.index(r_ax)
+            e_axis = result_big.index(e_letter)
+            result = {}
+            for rest_key in itertools.product(
+                    *[range(lengths[l]) for l in out_rest]):
+                rest_combo = dict(zip(out_rest, rest_key))
+                parts = []
+                for v in range(R):
+                    combo = {**rest_combo, r_ax: v}
+                    piece = _product(
+                        [(tuple(rp.big), rp.get(combo))
+                         for rp in aside_r], a_axes)
+                    if a_axes[0] != e_letter:
+                        piece = piece.swapaxes(0, 1)
+                    if padded != elen:
+                        piece = jnp.pad(piece,
+                                        ((0, padded - elen), (0, 0)))
+                    parts.append(piece)
+                stacked = (jnp.concatenate(parts, axis=0) if R > 1
+                           else parts[0])
+                pieces = ([((e_letter, k_ax), stacked)]
+                          + [(tuple(rp.big), rp.get(rest_combo))
+                             for rp in b_r])
+                big_core = _contract_pieces(
+                    pieces, e_letter, False, k_ax, n_ax, result_big,
+                    accum_dtype, dot_precision, jax, jnp)
+                for v in range(R):
+                    sl = [slice(None)] * len(result_big)
+                    sl[e_axis] = slice(v * padded, v * padded + elen)
+                    key = list(rest_key)
+                    key.insert(r_pos, v)
+                    result[tuple(key)] = big_core[tuple(sl)]
             return Rep(out_small, result_big, result)
 
     result = {}

@@ -307,11 +307,21 @@ def _build_multigrid(program, lengths: dict):
         stored_idx[name] = (tuple(idx_set[p] for p in perm)
                             if perm is not None else tuple(idx_set))
 
-    grid = tuple(int(lengths[l]) for l in grid_letters)
+    blocks = {l: int(b) for l, b in desc.grid_blocks}
+    for l, b in blocks.items():
+        if l not in grid_letters:
+            raise InvalidParameterError(
+                f"grid_blocks letter {l!r} is not a grid letter")
+        if b < 1 or int(lengths[l]) % b:
+            raise InvalidParameterError(
+                f"grid block {b} does not divide {l}={lengths[l]}")
+
+    grid = tuple(int(lengths[l]) // blocks.get(l, 1) for l in grid_letters)
     gpos = {l: i for i, l in enumerate(grid_letters)}
 
     def spec_of(idx_tuple):
-        blk = tuple(1 if l in gpos else int(lengths[l]) for l in idx_tuple)
+        blk = tuple(blocks.get(l, 1) if l in gpos else int(lengths[l])
+                    for l in idx_tuple)
 
         def imap(*gids, idx_tuple=idx_tuple):
             return tuple(gids[gpos[l]] if l in gpos else 0
@@ -332,7 +342,21 @@ def _build_multigrid(program, lengths: dict):
 
     lengths_kernel = dict(lengths)
     for l in grid_letters:
-        lengths_kernel[l] = 1
+        lengths_kernel[l] = blocks.get(l, 1)
+
+    # the in-kernel MXU row (M) letter: an output axis with in-cell extent
+    # > 1 handed to the lowering as its "e" row axis, so contractions lower
+    # to (m,k)@(k,n) dots instead of VPU broadcast-sums (None = v0 replay)
+    m_letter = desc.grid_m
+    if m_letter is not None:
+        if m_letter not in e.out_idx_set:
+            raise InvalidParameterError(
+                f"grid_m {m_letter!r} must be an output axis")
+        if int(lengths_kernel[m_letter]) <= 1:
+            raise InvalidParameterError(
+                f"grid_m {m_letter!r} has in-cell extent"
+                f" {lengths_kernel[m_letter]}; block it or leave it"
+                " ungridded")
 
     accum = jnp.dtype(desc.accum_dtype) if desc.accum_dtype else None
     compute_dtype = (jnp.dtype(desc.compute_dtype)
@@ -377,7 +401,7 @@ def _build_multigrid(program, lengths: dict):
                             if compute_dtype is not None:
                                 blk = blk.astype(compute_dtype)
                             rep_cache[key] = rep_from_block(
-                                blk, stored_idx[arg.name], None,
+                                blk, stored_idx[arg.name], m_letter,
                                 lengths_kernel)
                         rep = rep_cache[key]
                         trans = dict(zip(use_letters, s))
@@ -392,9 +416,9 @@ def _build_multigrid(program, lengths: dict):
                 skey = (subs, tuple(factor_keys))
                 if skey not in step_cache:
                     step_cache[skey] = lower_step(
-                        factors, tuple(out_sub), None, lengths_kernel,
+                        factors, tuple(out_sub), m_letter, lengths_kernel,
                         accum_dtype=accum, big_order_pref=out_idx,
-                        dot_precision=dot_precision)
+                        dot_precision=dot_precision, mstack=desc.mstack)
                 env[name] = step_cache[skey]
                 env_key[name] = skey
                 result = env[name]

@@ -169,3 +169,65 @@ def test_multigrid_tc_blocks_legal_for_mosaic():
     arrays = apply_layouts(prog, generate_input_arrays(
         e, long_dim_length=100, seed=0))
     jax.jit(fn).trace(arrays).lower(lowering_platforms=("tpu",))
+
+
+def test_tc_pallas_v1_mxu_row_axis():
+    """tc_pallas_v1: per-grid-axis blocks + an explicit in-kernel MXU row
+    letter (descriptor.grid_m) + M-stacking.  v0's cells covered one index
+    per gridded axis and lowered every contraction to VPU broadcast-sums
+    (no row axis -> no dot_general); v1 must validate numerically in every
+    (m, mstack, block) combination on a TC with a gridded trailing operand
+    axis (reference space: cogent.py:52-115 output-axis tiling)."""
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    e = f.einsum("dca,bd->abc", f.array("A", (6, 8, 4), "float32"),
+                 f.array("B", (5, 6), "float32"))
+    sp = get_transform_func_from_module_path("tc_pallas_v1")
+    for m_pos, mstack, blk0_idx in ((2, False, 0), (2, True, 1),
+                                    (1, False, 1), (2, True, 2)):
+        tr = sp.bind_args(e, n_grid=1, blk0_idx=blk0_idx, blk1_idx=0,
+                          m_pos=m_pos, mstack=mstack, precision_idx=0,
+                          use_opt_path=False)
+        f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
+
+    prog = sp.bind_args(e, n_grid=1, blk0_idx=1, blk1_idx=0, m_pos=2,
+                        mstack=True, precision_idx=0,
+                        use_opt_path=False)(f.generate_program(e))
+    assert prog.descriptor.grid_m == "c"
+    assert prog.descriptor.grid_blocks == (("a", 2),)
+    # operand A (dca): grid letter a leads, M letter c second-to-last,
+    # K letter d trailing
+    assert prog.descriptor.arg_layouts_map["A"] == (2, 1, 0)
+
+
+def test_tc_pallas_v1_mosaic_legal_on_tccg():
+    """The v1 configs forecast for the TCCG sweep must cross-lower for the
+    real Mosaic backend host-side (the r4 tool that root-caused the v0
+    crash class without touching the relay)."""
+    from dataclasses import replace
+
+    import jax
+
+    from feinsum_tpu.codegen.program import build_executable
+    from feinsum_tpu.measure import apply_layouts, generate_input_arrays
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    sp = get_transform_func_from_module_path("tc_pallas_v1")
+    # tccg_02 dca,bd->abc: grid a (block 8), M=c, lane b, mstack over a
+    # tccg_05 ebad,ce->abcd: grid (a,b) (blocks 1,24), M=d, lane c,
+    # mstack over b (gridding b keeps it off the auto-picked lane, which
+    # must land on c so operand A carries only {M,K})
+    for case, kwargs in (
+            (2, dict(n_grid=1, blk0_idx=5, blk1_idx=0, m_pos=2,
+                     mstack=True, precision_idx=1, use_opt_path=False)),
+            (5, dict(n_grid=2, blk0_idx=0, blk1_idx=9, m_pos=3,
+                     mstack=True, precision_idx=1, use_opt_path=False)),
+    ):
+        e = f.get_tccg_benchmark(case, dtype="float32")
+        prog = sp.bind_args(e, **kwargs)(f.generate_program(e))
+        prog = replace(prog, descriptor=replace(prog.descriptor,
+                                                interpret=False))
+        fn = build_executable(prog, long_dim_length=100)
+        arrays = apply_layouts(prog, generate_input_arrays(
+            e, long_dim_length=100, seed=0))
+        jax.jit(fn).trace(arrays).lower(lowering_platforms=("tpu",))
