@@ -103,3 +103,36 @@ def test_examples_compile():
     assert len(files) >= 7
     for name in files:
         py_compile.compile(os.path.join(ex_dir, name), doraise=True)
+
+
+def test_manual_walkthrough_schedules_validate():
+    """examples/wave_3d_p4_manual.py (reference wave_3d_p4_manual.py): the
+    three hand-written P4 schedules must validate against numpy — the
+    example is a real walkthrough, not prose."""
+    import importlib
+    import sys
+
+    ex_dir = os.path.join(os.path.dirname(DOC), "examples")
+    sys.path.insert(0, ex_dir)
+    try:
+        m = importlib.import_module("wave_3d_p4_manual")
+    finally:
+        sys.path.remove(ex_dir)
+    import feinsum_tpu as f
+    for einsum, tr in ((m.make_div(), m.transform_div),
+                       (m.make_grad(), m.transform_grad),
+                       (m.make_face_mass(), m.transform_face_mass)):
+        f.validate_batched_einsum_transform(einsum, tr,
+                                            long_dim_length=1024)
+
+
+def test_api_doc_covers_public_surface():
+    """doc/api.md (reference doc/api.rst) must mention every public name;
+    regenerate with scripts/gen_api_doc.py after API changes."""
+    import feinsum_tpu as f
+    text = open(os.path.join(DOC, "api.md")).read()
+    for name in dir(f):
+        if not name.startswith("_"):
+            assert f"`{name}" in text or f".{name}`" in text, (
+                f"doc/api.md is missing {name}; re-run"
+                " scripts/gen_api_doc.py")
