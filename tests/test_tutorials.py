@@ -129,10 +129,16 @@ def test_manual_walkthrough_schedules_validate():
 def test_api_doc_covers_public_surface():
     """doc/api.md (reference doc/api.rst) must mention every public name;
     regenerate with scripts/gen_api_doc.py after API changes."""
+    import inspect
+
     import feinsum_tpu as f
     text = open(os.path.join(DOC, "api.md")).read()
     for name in dir(f):
-        if not name.startswith("_"):
-            assert f"`{name}" in text or f".{name}`" in text, (
-                f"doc/api.md is missing {name}; re-run"
-                " scripts/gen_api_doc.py")
+        # lazily-imported submodules (e.g. `native` after the first
+        # canonicalize) appear in dir() depending on test order; the
+        # module map section documents modules by curated list instead
+        if name.startswith("_") or inspect.ismodule(getattr(f, name)):
+            continue
+        assert f"`{name}" in text or f".{name}`" in text, (
+            f"doc/api.md is missing {name}; re-run"
+            " scripts/gen_api_doc.py")
