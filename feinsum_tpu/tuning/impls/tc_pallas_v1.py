@@ -116,11 +116,15 @@ def transform(program, n_grid, blk0_idx, blk1_idx, m_pos, mstack,
             raise InvalidParameterError(
                 f"operand {pos} carries M, K and N ({m},{k},{n}); one of"
                 " them would lower to an unrolled loop")
-        trailing = [l for l in (m,) if l in letters]
+        # a blocked-grid M stays LEADING (rep_from_block keeps the row
+        # letter as an array dim regardless of position; trailing would
+        # break the Mosaic last-two rule)
+        trailing = [l for l in (m,) if l in letters
+                    and l not in grid_letters]
         second = (k if k in letters else (n if n in letters else None))
         if second is not None:
             trailing.append(second)
-        if k in letters and n in letters:
+        if k in letters and n in letters and m not in trailing:
             trailing = [k, n]          # both array dims, no m
         lead = [l for l in grid_letters if l in letters
                 and l not in trailing]

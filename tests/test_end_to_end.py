@@ -231,3 +231,24 @@ def test_tc_pallas_v1_mosaic_legal_on_tccg():
         arrays = apply_layouts(prog, generate_input_arrays(
             e, long_dim_length=100, seed=0))
         jax.jit(fn).trace(arrays).lower(lowering_platforms=("tpu",))
+
+
+def test_tc_pallas_v1_blocked_grid_m_letter():
+    """grid_m may itself be a BLOCKED grid letter: it stays stored leading
+    (rep_from_block keeps the row letter as an array dim regardless of
+    position) and mstack's per-slice padding engages (elen=2 -> 8)."""
+    from feinsum_tpu.tuning import get_transform_func_from_module_path
+
+    e = f.einsum("dma,bd->mab", f.array("A", (6, 4, 5), "float32"),
+                 f.array("B", (8, 6), "float32"))
+    sp = get_transform_func_from_module_path("tc_pallas_v1")
+    for mstack in (False, True):
+        tr = sp.bind_args(e, n_grid=1, blk0_idx=1, blk1_idx=0, m_pos=0,
+                          mstack=mstack, precision_idx=0,
+                          use_opt_path=False)
+        f.validate_batched_einsum_transform(e, tr, long_dim_length=100)
+    prog = tr(f.generate_program(e))
+    assert prog.descriptor.grid_m == "m"
+    assert prog.descriptor.grid_blocks == (("m", 2),)
+    # A (d,m,a): gridded m leads, K=d trails
+    assert prog.descriptor.arg_layouts_map["A"] == (1, 2, 0)
