@@ -13,7 +13,8 @@
 #      re-confirmed copies)
 #   3  grad4 retune   (VERDICT next #5: furthest under the north star)
 #   4  grad10 retune
-#   5  dd fp64 single-point diagnostic (VERDICT next #4) — LAST because a
+#   5  small-ndof stream-only ceiling probe (VERDICT #5 evidence)
+#   6  dd fp64 single-point diagnostic (VERDICT next #4) — LAST because a
 #      dd 500 historically sickened the compile-helper pool; runs the
 #      compile in a child it never kills, rc=3 = hang -> STOP the queue
 #      (an orphan may still hold the chip)
@@ -71,6 +72,7 @@ run 1300 python scripts/tune_tc_v1.py 5 900
 run 1300 python scripts/tune_small_ndof.py div10 700
 run 1600 python scripts/tune_small_ndof.py grad4 900
 run 1600 python scripts/tune_small_ndof.py grad10 900
+run 1800 python scripts/tpu_smallndof_ceiling.py grad4 grad10 div4
 
 # [5] dd diag — self-deadlining, NEVER timeout-wrapped (GNU timeout
 # forwards SIGTERM to the child python: the known mid-compile wedge-maker)
