@@ -93,10 +93,12 @@ if [ "$STEP" -ge "$START" ]; then
     fi
 fi
 
-# leftover window: weakest headline rows
-while [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ]; do
+# leftover window: weakest headline rows.  Reserve 3300 s at the tail for
+# the FINAL bench (champion pre-warm: tunes above may have installed new
+# champions whose compiles would otherwise hit the driver's capture cold).
+while [ $(($(date +%s) + 1600 + 3300)) -lt "$DEADLINE" ]; do
     for cls in div4 matvec grad4 grad10 div10 face mass; do
-        [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ] || break
+        [ $(($(date +%s) + 1600 + 3300)) -lt "$DEADLINE" ] || break
         if ! timeout 240 python -c "import jax; jax.devices()" \
                 >/dev/null 2>&1; then
             echo "=== [opportunistic] relay down; stopping" | tee -a $LOG
@@ -108,4 +110,8 @@ while [ $(($(date +%s) + 1600)) -lt "$DEADLINE" ]; do
         echo "=== [opportunistic] rc=$? $(date '+%T')" | tee -a $LOG
     done
 done
+
+# FINAL bench: re-warm every (possibly new) champion in the persistent
+# compile cache and leave a fresh live line in the stale-cache seed.
+run 3100 python bench.py
 echo "=== R5B QUEUE DONE $(date '+%T')" | tee -a $LOG
