@@ -296,22 +296,30 @@ def build_dd_executable(program, index_to_length: dict):
             f"dd kernel: out_layout must be the dof-major rotate"
             f" {want_out} (got {desc.out_layout})")
 
+    # index maps MUST return i32 everywhere: the dd path always traces
+    # under jax_enable_x64 (f64 user dtype), where literal ints become i64
+    # and Mosaic rejects the mapping function ("failed to legalize
+    # 'func.return'" — the r4 "relay rejects every dd module" mystery,
+    # root-caused by the 2026-08-20 solo diagnostic)
+    from .layouts import index_map_i32
     in_specs, full_shapes = [], []
     for name in names:
         stored = stored_of[name]
         shape, imap = stored_block(stored)
         in_specs.append(pl.BlockSpec(
-            shape, (lambda g, _m=tuple(imap): tuple(
+            shape, index_map_i32(lambda g, _m=tuple(imap): tuple(
                 g if v == "g" else v for v in _m))))
         full_shapes.append((2,) + tuple(
             int(lengths[ix]) if ix != el else L for ix in stored))
     if x_letter is not None:
         out_block = (2, d_x, d_i, block)
-        out_specs = [pl.BlockSpec(out_block, lambda g: (0, 0, 0, g))
+        out_specs = [pl.BlockSpec(out_block,
+                                  index_map_i32(lambda g: (0, 0, 0, g)))
                      for _ in range(e.b)]
     else:
         out_block = (2, d_i, block)
-        out_specs = [pl.BlockSpec(out_block, lambda g: (0, 0, g))
+        out_specs = [pl.BlockSpec(out_block,
+                                  index_map_i32(lambda g: (0, 0, g)))
                      for _ in range(e.b)]
 
     def kernel(*refs):

@@ -14,6 +14,24 @@ from ..diagnostics import InvalidParameterError
 from ..einsum import BatchedEinsum, SizeParam
 
 
+def index_map_i32(fn):
+    """Wrap a Pallas ``index_map`` so every returned element is an i32.
+
+    Under ``jax_enable_x64`` (enabled by the fp64/dd oracle path) literal
+    ints inside an index map trace as i64 constants, and this relay's
+    Mosaic build rejects the whole module with ``failed to legalize
+    operation 'func.return'`` on the mapping function's mixed
+    ``(i64, i64, i32)`` return — root-caused 2026-08-20 via the solo dd
+    diagnostic (VERDICT r4 next #4; /tmp/dd_diag_report.txt).  Mosaic grid
+    indices are i32, so the cast is the identity when x64 is off.
+    """
+    import jax.numpy as jnp
+
+    def wrapped(*gids):
+        return tuple(jnp.asarray(v, jnp.int32) for v in fn(*gids))
+    return wrapped
+
+
 def dofmajor_layouts(einsum: BatchedEinsum):
     """(arg_layouts, out_layout) rotating long axes to the trailing (lane)
     position for every operand/output that carries one."""

@@ -241,7 +241,8 @@ def _try_build_flat_elementwise(program, lengths):
             dimension_semantics=(desc.dimension_semantics,),
             vmem_limit_bytes=int(desc.vmem_limit_bytes or 100 * 1024 * 1024))
 
-    spec = pl.BlockSpec((blk,), lambda g: (g,))
+    from .layouts import index_map_i32
+    spec = pl.BlockSpec((blk,), index_map_i32(lambda g: (g,)))
     call = pl.pallas_call(
         kernel, grid=grid,
         in_specs=[spec] * len(arg_names),
@@ -326,7 +327,8 @@ def _build_multigrid(program, lengths: dict):
         def imap(*gids, idx_tuple=idx_tuple):
             return tuple(gids[gpos[l]] if l in gpos else 0
                          for l in idx_tuple)
-        return pl.BlockSpec(blk, imap)
+        from .layouts import index_map_i32
+        return pl.BlockSpec(blk, index_map_i32(imap))
 
     arg_names = sorted(e.all_args)
     in_specs = [spec_of(stored_idx[name]) for name in arg_names]
@@ -628,6 +630,8 @@ def build_pallas_executable(program, index_to_length: dict):
                 shape.append(lengths[ix])
         return tuple(shape)
 
+    from .layouts import index_map_i32
+
     def index_map_of(idx_tuple):
         def imap(g):
             out = []
@@ -637,7 +641,7 @@ def build_pallas_executable(program, index_to_length: dict):
                 else:
                     out.append(0)
             return tuple(out)
-        return imap
+        return index_map_i32(imap)
 
     pb_f = fold if fold > 1 else 8
     if fold > 1:
@@ -657,7 +661,7 @@ def build_pallas_executable(program, index_to_length: dict):
 
         def imap(g, nzeros=nzeros):
             return (g,) + (0,) * nzeros
-        return pl.BlockSpec(blk, imap)
+        return pl.BlockSpec(blk, index_map_i32(imap))
 
     arg_names = sorted(e.all_args)
     in_specs = [in_spec_of(name) for name in arg_names]
@@ -736,7 +740,7 @@ def build_pallas_executable(program, index_to_length: dict):
         stored_idx[slot] = letters
     host_specs = [
         pl.BlockSpec(tuple(lengths[ix] for ix in letters),
-                     (lambda g, nz=len(letters): (0,) * nz))
+                     index_map_i32(lambda g, nz=len(letters): (0,) * nz))
         for letters, _slot in host_slots.values()]
 
     def compute_host_arrays(arrays_by_name) -> list:

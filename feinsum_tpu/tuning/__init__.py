@@ -252,6 +252,25 @@ def _params_to_config(space: dict, params: dict) -> dict:
     return config
 
 
+_MOSAIC_REJECT_MARKERS = ("Mosaic failed to compile",
+                          "failed to legalize")
+
+
+def _is_mosaic_reject(err_str: str) -> bool:
+    """True when an HTTP-500 body carries a Mosaic compiler diagnostic.
+
+    The relay's compile helper forwards the FULL compiler error text in
+    the 500 body (measured 2026-08-20: the solo dd diagnostic got a
+    4.5 kB body ending in ``Mosaic failed to compile TPU kernel: failed
+    to legalize operation 'func.return'``), so a 500 carrying one of
+    these markers is a DETERMINISTIC rejection of this exact module —
+    retrying or deferring it burns 60–90 s per point and inflates the
+    sick-streak accounting for nothing.  500s WITHOUT a compiler
+    diagnostic (helper subprocess crashes) keep the retry/defer path.
+    """
+    return any(m in err_str for m in _MOSAIC_REJECT_MARKERS)
+
+
 def validate_params_in_space(space: dict, params: dict) -> bool:
     return (set(params) == set(space)
             and all(space[k].contains(v) for k, v in params.items()))
@@ -471,14 +490,15 @@ def autotune(einsum: BatchedEinsum, module_path: str, *,
                                          **timeit_kwargs)
                         break
                     except Exception as err:  # noqa: BLE001
-                        if "HTTP 500" not in str(err) or attempt == 2:
+                        if ("HTTP 500" not in str(err) or attempt == 2
+                                or _is_mosaic_reject(str(err))):
                             raise
                         logger.warning("point %s hit a sick compile helper"
                                        " (attempt %d); retrying after 30 s",
                                        params, attempt + 1)
                         time.sleep(30)
             except Exception as err:  # noqa: BLE001
-                if "HTTP 500" not in str(err):
+                if "HTTP 500" not in str(err) or _is_mosaic_reject(str(err)):
                     raise
                 # all attempts hit 500: defer (don't score inf), cool
                 # down harder the longer the streak, never past budget.

@@ -111,3 +111,54 @@ def test_dd_grad_multistep_grid_and_tail():
     sp = get_transform_func_from_module_path("dd_pallas_v0")
     tr = sp.bind_args(e, log2_block=9, parallel_grid=True)
     f.validate_batched_einsum_transform(e, tr, long_dim_length=1000)
+
+
+def _pallas_calls_of(jaxpr, found=None):
+    found = [] if found is None else found
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "pallas_call":
+            found.append(eqn)
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):
+                _pallas_calls_of(v.jaxpr, found)
+            elif hasattr(v, "eqns"):
+                _pallas_calls_of(v, found)
+    return found
+
+
+def test_dd_index_maps_trace_i32_under_x64():
+    """Under jax_enable_x64 (always on for the dd f64 oracle path) literal
+    ints in a Pallas index map trace as i64, and the relay's Mosaic build
+    rejects the whole module with "failed to legalize operation
+    'func.return'" on the mapping function's (i64, i64, i32) return —
+    root-caused by the 2026-08-20 solo dd diagnostic (the r4 "relay
+    rejects every dd module" mystery, VERDICT r4 next #4).  Every emitted
+    index map must therefore return i32 (layouts.index_map_i32)."""
+    import jax
+
+    from feinsum_tpu.codegen.program import build_executable, \
+        generate_program
+    from feinsum_tpu.measure import _apply_layouts, \
+        ensure_x64_if_needed, generate_input_arrays
+
+    e = f.einsum("es,sij,ej->ei", f.array("J", ("E", 3), "float64"),
+                 f.array("R", (3, 9, 9), "float64"),
+                 f.array("u", ("E", 9), "float64"))
+    ensure_x64_if_needed(e)
+    prog = generate_program(e)
+    sp = get_transform_func_from_module_path("dd_pallas_v0")
+    prog = sp.bind_args(e, log2_block=10, parallel_grid=True)(prog)
+    L = 1 << 10
+    arrays = generate_input_arrays(e, long_dim_length=L, seed=0,
+                                   as_numpy=True)
+    dev = _apply_layouts(prog, arrays)
+    fn = build_executable(prog, long_dim_length=L)
+    calls = _pallas_calls_of(jax.make_jaxpr(fn)(dev).jaxpr)
+    assert calls, "no pallas_call traced — dd kernel path changed?"
+    for c in calls:
+        for bm in c.params["grid_mapping"].block_mappings:
+            dts = [str(v.aval.dtype)
+                   for v in bm.index_map_jaxpr.jaxpr.outvars]
+            assert all(d == "int32" for d in dts), (
+                f"index map traced non-i32 outputs {dts} — this relay's"
+                " Mosaic rejects i64 func.return (dd diag 2026-08-20)")

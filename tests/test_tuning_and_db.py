@@ -971,3 +971,48 @@ def test_retire_is_nondestructive_and_restorable(tmp_path):
     conn.close()
     assert after == before
     assert n_stash == 0
+
+
+def test_autotune_mosaic_reject_500_not_retried(tmp_path, monkeypatch):
+    """An HTTP 500 whose body carries a Mosaic compiler diagnostic is a
+    DETERMINISTIC rejection of that exact module (the relay forwards the
+    full compiler error text — dd diag 2026-08-20), not a sick helper:
+    the point must be scored inf immediately, with no 30 s retry sleeps
+    and no deferral that would inflate the sick-streak accounting."""
+    import feinsum_tpu.tuning as tuning
+
+    db = str(tmp_path / "tune.sqlite")
+    e = f.einsum("ej,ij->ei", f.array("u", ("E", 16), "float32"),
+                 f.array("D", (16, 16), "float32"))
+    from feinsum_tpu import measure
+    real_timeit = measure.timeit
+    calls = {"n": 0, "reject_calls": 0}
+
+    def rejecting_timeit(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            calls["reject_calls"] += 1
+            raise RuntimeError(
+                "INTERNAL: remote_compile: HTTP 500: tpu_compile_helper"
+                " subprocess exit code 1\n... AOT PJRT error: Mosaic"
+                " failed to compile TPU kernel: failed to legalize"
+                " operation 'func.return'")
+        return real_timeit(*a, **k)
+
+    slept = []
+    monkeypatch.setattr("feinsum_tpu.measure.timeit", rejecting_timeit)
+    monkeypatch.setattr(tuning.time, "sleep", lambda s: slept.append(s))
+    autotune(e, "mass_v0", db_path=db, long_dim_length=512,
+             test_limit=3, device=f.FakeDevice("TPU v5 lite"),
+             cost_model=False,
+             timeit_kwargs=dict(min_rounds=1, min_seconds=0.01,
+                                validation_long_dim_length=512))
+    # the rejected module was tried exactly once (no sick-helper retries)
+    assert calls["reject_calls"] == 1
+    assert not any(s >= 30 for s in slept), (
+        f"Mosaic-rejected point slept {slept} — it burned sick-helper"
+        " retries on a deterministic rejection")
+    # other points still measured and recorded
+    qs = sql_utils.query(e, f.FakeDevice("TPU v5 lite"),
+                         db_path=db, err_if_no_results=False)
+    assert len(qs) >= 1
