@@ -15,7 +15,7 @@
 # QUEUE_HARD_DEADLINE and self-limits every step.
 set -u
 DEADLINE=${1:?usage: relay_watchdog.sh <deadline-epoch-secs>}
-QUEUE=${2:-/root/repo/scripts/r5_tpu_queue.sh}
+QUEUE=${2:-/root/repo/scripts/r6_tpu_queue.sh}
 
 while true; do
     ts=$(date '+%F %T')
