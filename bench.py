@@ -288,23 +288,22 @@ def candidate_transforms(name, einsum):
                 f" ({q.total_giga_op_rate:.0f} GOp/s, {proto})"), q.transform
 
     if any(a.dtype == "float64" for row in einsum.args for a in row):
-        # The "dd compiles are helper-safe" theory is DEAD (live bench
-        # 2026-08-19 14:50): the dd built-in was this process's FIRST
-        # fp64 compile, 500'd instantly, and the sickened pool then ate
-        # grad's XLA-f64 candidates too — the row was lost entirely.
-        # (The 13:16 dd sweep 500'd instantly in two fresh processes as
-        # well: this relay build rejects dd modules outright, and the
-        # relay truncates the helper error so the cause is undiagnosable
-        # remotely.)  So: archived XLA rows FIRST — they are proven to
-        # compile here — and dd candidates only when the archive holds a
-        # dd fact for this class, i.e. dd has demonstrably compiled on
-        # this platform; the tune_dd sweeps stay the discovery mechanism.
+        # fp64 ladder contract v3 (2026-08-20, supersedes the 08-19
+        # xla-rows-first contract): dd modules were relay-rejected until
+        # the i64-index-map root cause (5a55354); post-fix dd COMPILES
+        # ACCURATE on this TPU (doc/dd_diag_2026-08-20_child.out) and the
+        # archive carries measured dd facts (div 116.7 GOp/s = 11.7x the
+        # chunked-XLA row).  An archived fact — dd or XLA — means the
+        # config compiled, validated at the 1e-12 oracle, and measured on
+        # THIS platform, so archived rows now rank purely by measured
+        # rate (xla-first would stop the first-success ladder at a 10x
+        # slower row).  The dd BUILT-IN (no fact) stays gated on a dd
+        # fact existing for this class: fresh unproven dd compiles are
+        # never the ladder's opener; tune_dd sweeps stay the discovery
+        # mechanism.
         dd_rows = [q for q in distinct if "dd_" in q.transform_id]
-        xla_rows = [q for q in distinct if "dd_" not in q.transform_id]
-        for rank, q in enumerate(xla_rows[:2]):
+        for rank, q in enumerate(distinct[:3]):
             yield archive_entry(rank, q)
-        for rank, q in enumerate(dd_rows[:2]):
-            yield archive_entry(len(xla_rows[:2]) + rank, q)
         if dd_rows:
             yield "built-in dd_pallas (f32-pair VPU)", _dd_builtin
     else:
